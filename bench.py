@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family; extended as SURVEY §2 fills in.
+BENCH_KEYS: list[str] = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "top_parts_by_revenue",
+    "events_pivot_daily",
+]
+
+
+def main() -> None:
+    from ojo_daps_mirror_spark import plans
+    from ojo_daps_mirror_spark.session import get_spark
+
+    plans.load_all()
+    spark = get_spark(app_name="ojo-bench")
+
+    keys = [k for k in BENCH_KEYS if k in plans.QUERIES]
+    # Warm the JVM + parquet footers once with the cheapest query.
+    plans.QUERIES[keys[0]](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for key in keys:
+        start = time.perf_counter()
+        df = plans.QUERIES[key](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[key] = round(time.perf_counter() - start, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "total_headline_query_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

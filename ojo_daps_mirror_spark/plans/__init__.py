@@ -1,0 +1,42 @@
+"""Query-plan registry.
+
+Every operator in SURVEY.md §2 registers here as a named builder
+``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) a DuckDB
+oracle SQL string computing the identical result — same column names,
+same rounding — over the same parquet tables.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query builder and its optional DuckDB oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every plan module so registration side effects run."""
+    from . import (  # noqa: F401
+        dedup_plans,
+        jobs_observatory,
+        olap,
+        text_plans,
+        vector_plans,
+    )
