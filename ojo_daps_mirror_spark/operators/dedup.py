@@ -1,0 +1,129 @@
+"""Duplicate-handling operators.
+
+The reference materialises near-duplicate *edges* (JobAdDuplicateLink:
+first_id/second_id/weight, written by flows/enrich/deduplication.py),
+then at query time builds **connected components** with networkx on the
+driver (dqa/data_getters.py:get_duplicate_subgraphs), optionally
+re-splits components by location (get_subgraphs_by_location, dropping
+singleton splits), and flags every member except a deterministic min-id
+exemplar as duplicate (identify_duplicates).
+
+A networkx graph on one machine dies at 100 TB. Here components are
+computed distributed, by iterative min-label propagation over the edge
+DataFrame: every vertex repeatedly adopts the smallest label among
+itself and its neighbours. Converges in O(component diameter) rounds,
+each one shuffle; lineage is cut with localCheckpoint so the loop's
+plan doesn't grow. Duplicate-description components are overwhelmingly
+tiny cliques/chains, so diameter — and the round count — stays small
+even at full scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def exact_duplicates(df: DataFrame, id_col: str, key: F.Column) -> DataFrame:
+    """Group rows by a duplicate key; flag all but the min-id exemplar.
+
+    Mirrors identify_duplicates' exemplar rule: "deterministically select
+    (i.e. 'min') and then remove the exemplar" (dqa/data_getters.py).
+    Single hash shuffle on the key; exemplar via a partition-window min.
+    """
+    w = Window.partitionBy("dup_key")
+    return (
+        df.select(F.col(id_col), key.alias("dup_key"))
+        .withColumn("exemplar_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_duplicate", F.col(id_col) != F.col("exemplar_id"))
+    )
+
+
+def chain_edges(df: DataFrame, id_col: str, key: F.Column) -> DataFrame:
+    """Adjacent-pair edges within each duplicate-key group.
+
+    Emits a *chain* (id1—id2—id3…), not a clique: recovering the full
+    group from these edges requires real transitive closure, which is
+    exactly what makes them a proper test input for
+    ``connected_components``. Analog of the JobAdDuplicateLink edge list.
+    """
+    w = Window.partitionBy("dup_key").orderBy(id_col)
+    return (
+        df.select(F.col(id_col), key.alias("dup_key"))
+        .withColumn("prev_id", F.lag(id_col).over(w))
+        .where(F.col("prev_id").isNotNull())
+        .select(
+            F.col("prev_id").alias("first_id"),
+            F.col(id_col).alias("second_id"),
+        )
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Distributed connected components by min-label propagation.
+
+    Returns (id_col, component_id) for every vertex; isolated vertices
+    are their own component. Replaces the reference's driver-side
+    ``networkx.connected_components``.
+    """
+    sym = (
+        edges.selectExpr("first_id AS src", "second_id AS dst")
+        .union(edges.selectExpr("second_id AS src", "first_id AS dst"))
+        .distinct()
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("vid"), F.col(id_col).alias("component_id")
+    )
+    for _ in range(max_iterations):
+        # Neighbour labels: for each dst, the min label among its sources.
+        neighbour_min = (
+            sym.join(labels, sym.src == labels.vid)
+            .groupBy("dst")
+            .agg(F.min("component_id").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbour_min, labels.vid == neighbour_min.dst, "left")
+            .select(
+                "vid",
+                F.least(
+                    F.col("component_id"), F.coalesce("nbr_label", "component_id")
+                ).alias("component_id"),
+            )
+            .localCheckpoint(eager=True)  # cut lineage; loop plan stays flat
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vid")
+            .where(F.col("n.component_id") != F.col("o.component_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("vid").alias(id_col), "component_id")
+
+
+def split_components_by(
+    members: DataFrame, comp_col: str, attr_col: str, id_col: str
+) -> DataFrame:
+    """Re-split components by an attribute, keep multi-member splits only.
+
+    Mirrors get_subgraphs_by_location: unique (component, attribute)
+    pairs become sub-groups; groups of one are not duplicates and are
+    dropped ("filter(lambda graph: len(graph) > 1)").
+    """
+    w = Window.partitionBy(comp_col, attr_col)
+    return (
+        members.withColumn("subgroup_size", F.count(F.lit(1)).over(w))
+        .where(F.col("subgroup_size") > 1)
+        .withColumn("exemplar_id", F.min(id_col).over(w))
+        .withColumn("is_duplicate", F.col(id_col) != F.col("exemplar_id"))
+    )

@@ -1,1 +1,304 @@
-"""Placeholder — populated in later milestones."""
+"""Vector / embedding queries (SURVEY.md §2 A13–A14, C8–C10).
+
+Reference: labs/deduplication/faiss_utils.py (vector near-duplicate
+search) and flows/pre_enrich/vectorise_descriptions.py (embedding
+generation). FAISS-on-one-box becomes distributed similarity joins:
+brute-force as the exact small-scale oracle, SRP-LSH bucketing as the
+100 TB path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.rounding import round_eps
+from ..functions.vectors import cosine, norm, sql_cosine
+from ..operators.dedup import connected_components
+from ..sources import load_table
+from . import register
+
+NEAR_DUP_COS = 0.4  # testdata embeddings are near-orthogonal; 0.4 ≈ strong
+ANN_K = 5
+QUERY_MOD = 50  # vec_id % 50 == 0 → the ANN query subset
+
+
+# ---------------------------------------------------------------- A13
+
+_A13_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({sql_cosine('a.embedding', 'b.embedding')} + 1e-9, 4) AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {sql_cosine('a.embedding', 'b.embedding')} >= {NEAR_DUP_COS}
+ORDER BY id_a, id_b
+"""
+
+
+@register("near_dup_cosine", oracle=_A13_ORACLE)
+def near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs above a cosine threshold
+    (labs/deduplication/faiss_utils.py:find_similar_vectors made
+    distributed: self-join + JVM-side dot products, norms precomputed).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    from ..functions.vectors import dot
+
+    cos = (
+        dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cos"),
+        )
+        .where(F.col("cos") >= NEAR_DUP_COS)
+        .select("id_a", "id_b", round_eps(F.col("cos"), 4).alias("cos_sim"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------- C8
+
+_C8_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         {sql_cosine('q.embedding', 'v.embedding')} AS cos
+  FROM q JOIN v ON q.vec_id <> v.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, ROUND(cos + 1e-9, 4) AS cos_sim
+FROM ranked WHERE rank <= {ANN_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("ann_topk_bruteforce", oracle=_C8_ORACLE)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbours for the query subset — the
+    correctness baseline every approximate path is judged against."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
+    from ..functions.vectors import dot
+
+    q = queries.alias("q")
+    v = emb.alias("v")
+    cos = dot(F.col("q.e"), F.col("v.e")) / (F.col("q.nrm") * F.col("v.nrm"))
+    scored = (
+        q.join(v, F.col("q.vec_id") != F.col("v.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("v.vec_id").alias("neighbor_id"),
+            cos.alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_K)
+        .select("query_id", "neighbor_id", "rank", round_eps(F.col("cos"), 4).alias("cos_sim"))
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------- C9
+
+N_TABLES = 16
+N_BITS = 4
+EMB_DIM = 64
+
+
+def _srp_signs(table: int, bit: int, dim: int) -> int:
+    """Deterministic ±1 hyperplane entries from md5 — no RNG state."""
+    h = hashlib.md5(f"srp:{table}:{bit}:{dim}".encode()).digest()
+    return 1 if h[0] % 2 == 0 else -1
+
+
+_HYPERPLANES = [
+    [[_srp_signs(t, b, d) for d in range(EMB_DIM)] for b in range(N_BITS)]
+    for t in range(N_TABLES)
+]
+
+
+@register("ann_lsh_bucketed")  # rows-only: approximate by design
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed ANN — the scale path.
+
+    Each vector gets ``N_TABLES`` 4-bit sign-random-projection bucket
+    ids (map-side only); candidates are pairs sharing a (table, bucket);
+    exact cosine reranks candidates. At 100 TB the per-bucket shuffle
+    partitions the corpus so no task ever sees the full set. Recall vs
+    the brute-force baseline is asserted in tests/test_vectors.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+
+    def bucket_for_table(t: int) -> F.Column:
+        bits = []
+        for b in range(N_BITS):
+            plane = F.array(*[F.lit(float(s)) for s in _HYPERPLANES[t][b]])
+            proj = F.aggregate(
+                F.zip_with(F.col("e"), plane, lambda x, h: x * h),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj > 0, 1 << b).otherwise(0))
+        bucket = bits[0]
+        for expr in bits[1:]:
+            bucket = bucket + expr
+        return bucket
+
+    buckets = emb.select(
+        "vec_id",
+        "e",
+        "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), bucket_for_table(t).alias("bucket")
+                    )
+                    for t in range(N_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "e", "nrm", "tb.tbl", "tb.bucket")
+
+    queries = buckets.where(F.col("vec_id") % QUERY_MOD == 0)
+    cand = (
+        queries.alias("q")
+        .join(
+            buckets.alias("v"),
+            (F.col("q.tbl") == F.col("v.tbl"))
+            & (F.col("q.bucket") == F.col("v.bucket"))
+            & (F.col("q.vec_id") != F.col("v.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("v.vec_id").alias("neighbor_id"),
+            F.col("q.e").alias("qe"),
+            F.col("v.e").alias("ve"),
+            F.col("q.nrm").alias("qn"),
+            F.col("v.nrm").alias("vn"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    from ..functions.vectors import dot
+
+    cos = dot(F.col("qe"), F.col("ve")) / (F.col("qn") * F.col("vn"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_K)
+        .select(
+            "query_id", "neighbor_id", "rank", round_eps(F.col("cos"), 4).alias("cos_sim")
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------- C10
+
+_C10_ORACLE = f"""
+WITH RECURSIVE
+v AS (SELECT vec_id, embedding FROM embeddings),
+edges AS (
+  SELECT a.vec_id AS x, b.vec_id AS y
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+  WHERE {sql_cosine('a.embedding', 'b.embedding')} >= {NEAR_DUP_COS}
+),
+reach AS (
+  SELECT vec_id AS v, vec_id AS w FROM v
+  UNION
+  SELECT r.v, e.y FROM reach r JOIN edges e ON r.w = e.x
+)
+SELECT v AS vec_id, MIN(w) AS component_id
+FROM reach GROUP BY v ORDER BY vec_id
+"""
+
+
+@register("embedding_dedup_graph", oracle=_C10_ORACLE)
+def embedding_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup edges → connected components → exemplar: the full
+    reference dedup pipeline (deduplication.py → JobAdDuplicateLink →
+    get_duplicate_subgraphs) in one distributed plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = near_dup_cosine(spark, sf_dir).select(
+        F.col("id_a").alias("first_id"), F.col("id_b").alias("second_id")
+    )
+    comps = connected_components(
+        pairs, emb.select("vec_id"), id_col="vec_id"
+    )
+    return comps.orderBy("vec_id")
+
+
+# ---------------------------------------------------------------- A14
+
+VEC_DIMS = 16
+
+_A14_ORACLE = f"""
+SELECT doc_id, dim,
+       ROUND((('0x' || substr(md5(text || '#' || dim), 1, 8))::BIGINT % 1000)
+             / 999.0 - 0.5 + 1e-9, 4) AS val
+FROM documents
+CROSS JOIN (SELECT unnest(generate_series(0, {VEC_DIMS - 1})) AS dim)
+ORDER BY doc_id, dim
+"""
+
+
+@register("vectorise_stub", oracle=_A14_ORACLE)
+def vectorise_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based document "embedding" in long format.
+
+    The reference's sentence-transformer (vectorise_descriptions.py)
+    is an external model; the Spark-side contract — text in, fixed-dim
+    float vector out, chunked batches — is what's reproduced here, with
+    md5 standing in for the model exactly like its test stubs do.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dims = F.explode(F.sequence(F.lit(0), F.lit(VEC_DIMS - 1))).alias("dim")
+    hashed = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("text"), F.lit("#"), F.col("dim").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        docs.select("doc_id", "text", dims)
+        .select(
+            "doc_id",
+            "dim",
+            round_eps((hashed % 1000) / 999.0 - 0.5, 4).alias("val"),
+        )
+        .orderBy("doc_id", "dim")
+    )
