@@ -14,13 +14,28 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: one per operator family; extended as SURVEY §2 fills in.
+# Headline set: one per operator family (SURVEY.md §2).
 BENCH_KEYS: list[str] = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
     "top_parts_by_revenue",
     "events_pivot_daily",
+    "weekly_stock_by_region",
+    "weekly_salary_spread",
+    "jobs_by_location",
+    "events_sessionize",
+    "as_of_join",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ngram_jaccard",
+    "near_dup_cosine",
+    "ann_topk_bruteforce",
+    "ann_lsh_bucketed",
+    "token_count",
+    "quality_score",
+    "multimodal_decode",
 ]
 
 

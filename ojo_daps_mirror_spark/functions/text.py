@@ -1,0 +1,75 @@
+"""Text primitives as built-in array/string expressions.
+
+The reference tokenises and cleans with spaCy/NLTK on the driver
+(labs/skills/text_cleaning_utils.py); here the equivalents are Catalyst
+expressions: whitespace tokens, k-word shingles, a deterministic 60-bit
+string hash — each with a DuckDB SQL twin generated from the same
+constants so oracles can't drift.
+
+hash64: first 15 hex chars of md5 parsed base-16 — identical in Spark
+(``conv``) and DuckDB (``('0x'||…)::BIGINT``), unlike the engines'
+native hash functions which differ. At 100 TB you'd swap in xxhash64
+Spark-side; md5 is the cross-engine-verifiable choice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
+PUNCT_CLASS = r"[.,;:!?]"
+
+LANG_STOPWORDS = {
+    "en": ("the", "a", "is", "of"),
+    "es": ("el", "la", "de", "y"),
+    "de": ("der", "die", "das", "und"),
+}
+LANG_PRIORITY = ("en", "es", "de")  # argmax tiebreak order
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, r"\s+")
+
+
+def shingles(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (1-based indexing in both engines)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + off) for off in range(k)]
+            ),
+        )
+    )
+
+
+def hash64(s: Column) -> Column:
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def stopword_hits(toks: Column, words: tuple[str, ...] = STOPWORDS) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+# ---- DuckDB twins ----
+
+def sql_tokens(text: str) -> str:
+    return f"string_split_regex({text}, '\\s+')"
+
+
+def sql_shingles(toks: str, k: int = 3) -> str:
+    joined = " || ' ' || ".join(f"({toks})[i+{off}]" for off in range(k))
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({toks}) - {k - 1}, 0)), i -> {joined}))"
+    )
+
+
+def sql_hash64(s: str) -> str:
+    return f"(('0x' || substr(md5({s}), 1, 15))::BIGINT)"
+
+
+def sql_stopword_hits(toks: str, words: tuple[str, ...] = STOPWORDS) -> str:
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({toks}, t -> t IN ({in_list})))"

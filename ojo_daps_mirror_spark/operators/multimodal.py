@@ -1,0 +1,100 @@
+"""Multimodal (binary) column plumbing.
+
+Pattern for image/audio/video at 100 TB: media as opaque ``binary``
+columns with a typed metadata struct, processed by Arrow-batched
+``mapInPandas`` stages so decode/resize/frame-sample run vectorised
+per-partition without ever materialising media on the driver.
+
+The decode itself is STUBBED: this container has no image/audio codecs,
+so ``decode_batch`` computes deterministic fake features from the bytes
+(documented below). The Spark-side contract — schema, batch iteration,
+partition independence, output arity — is real and tested; a real
+deployment swaps `_fake_decode` for PIL/ffmpeg calls and nothing else
+changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("fake_width", IntegerType()),
+        StructField("fake_height", IntegerType()),
+        StructField("mean_byte", DoubleType()),
+        StructField("n_frames_sampled", IntegerType()),
+    ]
+)
+
+
+def attach_media(docs: DataFrame) -> DataFrame:
+    """Give documents an opaque binary payload + typed metadata.
+
+    (Real pipelines read the bytes from object storage; here the utf-8
+    text bytes stand in so the pipeline is runnable on the testdata.)
+    """
+    media_type = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            media_type.alias("media_type"),
+            F.length(F.col("text")).alias("declared_size"),
+        ).alias("media_meta"),
+    )
+
+
+def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, float, int]:
+    """Deterministic stand-in for a codec: derives "dimensions", a mean
+    byte value, and a frame-sample count from the raw bytes. A real
+    deployment replaces this one function with PIL/ffmpeg."""
+    n = len(payload)
+    width = 16 + (payload[0] % 64) if n else 0
+    height = 16 + (payload[-1] % 64) if n else 0
+    mean_byte = sum(payload[:256]) / min(n, 256) if n else 0.0
+    n_frames = 1 if media_type == "image" else 1 + n % 7
+    return width, height, mean_byte, n_frames
+
+
+def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: one Arrow batch in, one feature frame out."""
+    for pdf in batches:
+        feats = [
+            _fake_decode(payload, meta["media_type"])
+            for payload, meta in zip(pdf["payload"], pdf["media_meta"])
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": [m["media_type"] for m in pdf["media_meta"]],
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "fake_width": [f[0] for f in feats],
+                "fake_height": [f[1] for f in feats],
+                "mean_byte": [round(f[2], 4) for f in feats],
+                "n_frames_sampled": [f[3] for f in feats],
+            }
+        )
+
+
+def decode_media(docs: DataFrame) -> DataFrame:
+    """documents → media features via the Arrow-batched decode stage."""
+    return attach_media(docs).mapInPandas(decode_batch, schema=DECODED_SCHEMA)

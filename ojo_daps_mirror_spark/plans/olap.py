@@ -262,3 +262,150 @@ def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------- B5
+
+_SESSIONIZE_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM ordered
+)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1e6 + 1e-9, 3)
+         AS duration_secs
+FROM sessions
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
+@register("events_sessionize", oracle=_SESSIONIZE_ORACLE)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessionization → per-session rollup.
+
+    One (user, time) shuffle feeds both window functions and the final
+    aggregation (same partitioning reused across stages).
+    """
+    from ..functions.rounding import round_eps
+    from ..operators.sessionize import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    sess = sessionize(events)
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            round_eps(
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1e6, 3
+            ).alias("duration_secs"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+# ---------------------------------------------------------------- B7
+
+_ASOF_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM events e
+ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+ORDER BY e.event_id
+"""
+
+
+@register("as_of_join", oracle=_ASOF_ORACLE)
+def as_of_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each event, the most recent order of the same user at/before
+    the event time — the custom as-of operator (operators/asof.py),
+    verified against DuckDB's native ASOF JOIN."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    from ..operators.asof import asof_join
+
+    joined = asof_join(
+        probe=events,
+        build=orders,
+        key="user_id",
+        build_key="o_custkey",
+        probe_time="ts",
+        build_time="o_orderdate",
+        build_values=["o_orderkey", "o_orderdate"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------- B8
+
+_RETENTION_ORACLE = """
+WITH weeks AS (
+  SELECT user_id, date_trunc('week', ts)::DATE AS week FROM events GROUP BY ALL
+),
+cohorts AS (SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       (week - cohort_week) // 7 AS week_offset,
+       COUNT(*) AS n_users
+FROM weeks JOIN cohorts USING (user_id)
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+@register("user_retention", oracle=_RETENTION_ORACLE)
+def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users active in week (cohort + offset).
+    Two narrow aggregations; the cohort lookup is a broadcast join."""
+    events = load_table(spark, sf_dir, "events")
+    weeks = (
+        events.select(
+            "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+        )
+        .distinct()
+    )
+    cohorts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(F.broadcast(cohorts), "user_id")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("week", "cohort_week") / 7).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -1,1 +1,531 @@
-"""Placeholder — populated in later milestones."""
+"""Text-analysis and text-dedup queries (SURVEY.md §2.C1–C7).
+
+The training-data-pipeline operator family: token statistics, quality
+scoring, language-ID, fingerprinting, and the three text near-dup
+families (MinHash+LSH, SimHash, inverted-index n-gram Jaccard). The
+reference's skills/text machinery (labs/skills/text_cleaning_utils.py,
+skills_detection_utils.py) is driver-side spaCy/NLTK; everything here
+is Catalyst array/string expressions — zero Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_eps
+from ..functions.text import (
+    LANG_PRIORITY,
+    LANG_STOPWORDS,
+    PUNCT_CLASS,
+    STOPWORDS,
+    hash64,
+    shingles,
+    sql_hash64,
+    sql_shingles,
+    sql_stopword_hits,
+    sql_tokens,
+    stopword_hits,
+    tokens,
+)
+from ..sources import load_table
+from . import register
+
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# ---------------------------------------------------------------- C1
+
+_C1_ORACLE = f"""
+WITH t AS (SELECT doc_id, text, {sql_tokens('text')} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct_tokens,
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens
+FROM t ORDER BY doc_id
+"""
+
+
+@register("token_count", oracle=_C1_ORACLE)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_PATTERN)).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------- C2
+
+_C2_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, {sql_tokens('text')} AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(toks) AS n_tokens,
+         list_sum(list_transform(toks, s -> length(s))) * 1.0 / len(toks)
+           AS mean_word_len,
+         {sql_stopword_hits('toks')} * 1.0 / len(toks) AS stopword_ratio,
+         len(regexp_extract_all(text, '{PUNCT_CLASS}')) * 1.0 / length(text)
+           AS punct_ratio
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens,
+       ROUND(mean_word_len + 1e-9, 4) AS mean_word_len,
+       ROUND(stopword_ratio + 1e-9, 4) AS stopword_ratio,
+       ROUND(punct_ratio + 1e-9, 4) AS punct_ratio,
+       ROUND(0.4 * stopword_ratio
+             + 0.3 * least(mean_word_len / 10.0, 1.0)
+             + 0.3 * (1.0 - punct_ratio) + 1e-9, 4) AS quality_score
+FROM m ORDER BY doc_id
+"""
+
+
+@register("quality_score", oracle=_C2_ORACLE)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / stopword-ratio / punctuation composite quality score —
+    the pre-training filter battery."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    mean_word_len = (
+        F.aggregate(toks, F.lit(0), lambda acc, s: acc + F.length(s))
+        * F.lit(1.0)
+        / n_tokens
+    )
+    stop_ratio = stopword_hits(toks) * F.lit(1.0) / n_tokens
+    punct_ratio = (
+        F.regexp_count(F.col("text"), F.lit(PUNCT_CLASS))
+        * F.lit(1.0)
+        / F.length("text")
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        round_eps(mean_word_len, 4).alias("mean_word_len"),
+        round_eps(stop_ratio, 4).alias("stopword_ratio"),
+        round_eps(punct_ratio, 4).alias("punct_ratio"),
+        round_eps(
+            0.4 * stop_ratio
+            + 0.3 * F.least(mean_word_len / 10.0, F.lit(1.0))
+            + 0.3 * (1.0 - punct_ratio),
+            4,
+        ).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------- C3
+
+_lang_scores_sql = ",\n         ".join(
+    f"{sql_stopword_hits('toks', LANG_STOPWORDS[lang])} AS score_{lang}"
+    for lang in LANG_PRIORITY
+)
+
+_C3_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, {sql_tokens('text')} AS toks FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         {_lang_scores_sql}
+  FROM t
+)
+SELECT doc_id, score_en, score_es, score_de,
+       CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en > 0
+              THEN 'en'
+            WHEN score_es >= score_de AND score_es > 0 THEN 'es'
+            WHEN score_de > 0 THEN 'de'
+            ELSE 'und' END AS pred_lang,
+       (CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en > 0
+              THEN 'en'
+            WHEN score_es >= score_de AND score_es > 0 THEN 'es'
+            WHEN score_de > 0 THEN 'de'
+            ELSE 'und' END) = lang AS is_correct
+FROM s ORDER BY doc_id
+"""
+
+
+@register("lang_id", oracle=_C3_ORACLE)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language-ID heuristic with a deterministic
+    priority-ordered argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            stopword_hits(toks, LANG_STOPWORDS[lang]).alias(f"score_{lang}")
+            for lang in LANG_PRIORITY
+        ],
+    )
+    pred = (
+        F.when(
+            (F.col("score_en") >= F.col("score_es"))
+            & (F.col("score_en") >= F.col("score_de"))
+            & (F.col("score_en") > 0),
+            "en",
+        )
+        .when((F.col("score_es") >= F.col("score_de")) & (F.col("score_es") > 0), "es")
+        .when(F.col("score_de") > 0, "de")
+        .otherwise("und")
+    )
+    return scored.select(
+        "doc_id",
+        "score_en",
+        "score_es",
+        "score_de",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("is_correct"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------- C4
+
+FP_SHINGLE_K = 5
+
+_C4_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {sql_shingles(sql_tokens('text'), FP_SHINGLE_K)} AS sh
+  FROM documents
+)
+SELECT doc_id,
+       len(sh) AS n_shingles,
+       list_min(list_transform(sh, s -> {sql_hash64('s')})) AS min_fingerprint
+FROM t ORDER BY doc_id
+"""
+
+
+@register("doc_fingerprint", oracle=_C4_ORACLE)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling shingle-hash document fingerprint (1-perm minhash /
+    winnowing-lite): the cheap first-pass near-dup signal."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(tokens(F.col("text")), FP_SHINGLE_K)
+    return docs.select(
+        "doc_id",
+        F.size(sh).alias("n_shingles"),
+        F.array_min(F.transform(sh, lambda s: hash64(s))).alias("min_fingerprint"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------- C5
+
+MH_SHINGLE_K = 3
+MH_PERMS = 8
+MH_ROWS_PER_BAND = 2
+JACCARD_THRESHOLD = 0.5
+
+
+_C5_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, {sql_shingles(sql_tokens('text'), MH_SHINGLE_K)} AS sh
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+mh AS (
+  SELECT doc_id, p, MIN({sql_hash64("p || ':' || s")}) AS mh
+  FROM ex CROSS JOIN (SELECT unnest(generate_series(0, {MH_PERMS - 1})) AS p)
+  GROUP BY doc_id, p
+),
+bands AS (
+  SELECT doc_id, p // {MH_ROWS_PER_BAND} AS band,
+         md5(string_agg(mh::VARCHAR, ',' ORDER BY p)) AS sig
+  FROM mh GROUP BY doc_id, p // {MH_ROWS_PER_BAND}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+jac AS (
+  SELECT i, j,
+         len(list_intersect(da.sh, db.sh)) * 1.0
+           / len(list_distinct(da.sh || db.sh)) AS jac
+  FROM cand
+  JOIN docs da ON i = da.doc_id
+  JOIN docs db ON j = db.doc_id
+)
+SELECT i AS id_a, j AS id_b, ROUND(jac + 1e-9, 4) AS jaccard
+FROM jac WHERE jac >= {JACCARD_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_C5_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-duplicate detection.
+
+    shingle → k minhashes → band signatures → bucket self-join →
+    exact-Jaccard verify. The only wide shuffles are the per-(doc,perm)
+    min aggregation and the band-bucket join; candidate verification
+    touches only bucket-collision pairs — the 100 TB dedup shape.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", shingles(tokens(F.col("text")), MH_SHINGLE_K).alias("sh")
+    )
+    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    perms = ex.select(
+        "doc_id",
+        "s",
+        F.explode(F.sequence(F.lit(0), F.lit(MH_PERMS - 1))).alias("p"),
+    )
+    mh = perms.groupBy("doc_id", "p").agg(
+        F.min(hash64(F.concat(F.col("p").cast("string"), F.lit(":"), F.col("s")))).alias(
+            "mh"
+        )
+    )
+    bands = (
+        mh.withColumn("band", F.expr(f"p div {MH_ROWS_PER_BAND}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("p", "mh"))),
+                        lambda x: x.getField("mh").cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("sig")
+        )
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .distinct()
+    )
+    jac = (
+        cand.join(docs.select(F.col("doc_id").alias("i"), F.col("sh").alias("sh_a")), "i")
+        .join(docs.select(F.col("doc_id").alias("j"), F.col("sh").alias("sh_b")), "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                * F.lit(1.0)
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jac"),
+        )
+    )
+    return (
+        jac.where(F.col("jac") >= JACCARD_THRESHOLD)
+        .select(
+            F.col("i").alias("id_a"),
+            F.col("j").alias("id_b"),
+            round_eps(F.col("jac"), 4).alias("jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------- C6
+
+SIM_BITS = 48
+SIM_BAND_BITS = 12
+SIM_HAM_MAX = 3
+
+
+_C6_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, list_distinct({sql_tokens('text')}) AS toks FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+contrib AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN ({sql_hash64('tk')} >> bit) & 1 = 1 THEN 1 ELSE -1 END)
+           AS bal
+  FROM tok
+  CROSS JOIN (SELECT unnest(generate_series(0, {SIM_BITS - 1})) AS bit)
+  GROUP BY doc_id, bit
+),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN bal > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+  FROM contrib GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> (band * {SIM_BAND_BITS})) & {(1 << SIM_BAND_BITS) - 1}
+           AS band_val
+  FROM sig CROSS JOIN (
+    SELECT unnest(generate_series(0, {SIM_BITS // SIM_BAND_BITS - 1})) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT i AS id_a, j AS id_b,
+       bit_count(xor(sig_a, sig_b)) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= {SIM_HAM_MAX}
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_simhash", oracle=_C6_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash near-dup detection with band blocking.
+
+    Sign-sum of per-token hash bits → signature; candidates share one
+    12-bit band (pigeonhole: hamming ≤ 3 over 4 bands guarantees a
+    matching band — no recall loss); verify by Hamming distance.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
+    )
+    tok = docs.select("doc_id", F.explode("toks").alias("tk"))
+    contrib = (
+        tok.select(
+            "doc_id",
+            hash64(F.col("tk")).alias("h"),
+            F.explode(F.sequence(F.lit(0), F.lit(SIM_BITS - 1))).alias("bit"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.when(F.expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1)
+            ).alias("bal")
+        )
+    )
+    sig = contrib.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("bal") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+    n_bands = SIM_BITS // SIM_BAND_BITS
+    mask = (1 << SIM_BAND_BITS) - 1
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"shiftright(simhash, {b * SIM_BAND_BITS}) & {mask}"
+                        ).alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.band_val")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("i"),
+            F.col("b.doc_id").alias("j"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)"))
+        .where(F.col("hamming") <= SIM_HAM_MAX)
+        .select(F.col("i").alias("id_a"), F.col("j").alias("id_b"), "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------- C7
+
+NG_DF_CAP = 100  # drop shingles appearing in more docs (stopword-shingle guard)
+
+
+_C7_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, {sql_shingles(sql_tokens('text'), MH_SHINGLE_K)} AS sh
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+df AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= {NG_DF_CAP}),
+indexed AS (SELECT ex.doc_id, ex.s FROM ex JOIN df USING (s)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+  FROM indexed a JOIN indexed b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+jac AS (
+  SELECT i, j,
+         len(list_intersect(da.sh, db.sh)) * 1.0
+           / len(list_distinct(da.sh || db.sh)) AS jac
+  FROM cand
+  JOIN docs da ON i = da.doc_id
+  JOIN docs db ON j = db.doc_id
+)
+SELECT i AS id_a, j AS id_b, ROUND(jac + 1e-9, 4) AS jaccard
+FROM jac WHERE jac >= {JACCARD_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+@register("ngram_jaccard", oracle=_C7_ORACLE)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index n-gram Jaccard near-dup pairs.
+
+    Candidates = pairs sharing ≥1 indexed shingle, with a document-
+    frequency cap on posting lists (the skew guard: a stop-shingle
+    seen in half the corpus would otherwise create a quadratic bucket).
+    Verification uses the *full* shingle sets, so the cap only ever
+    drops candidates whose every shared shingle is corpus-common —
+    which a ≥0.5-Jaccard pair cannot be.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", shingles(tokens(F.col("text")), MH_SHINGLE_K).alias("sh")
+    )
+    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    df_ok = ex.groupBy("s").count().where(F.col("count") <= NG_DF_CAP).select("s")
+    indexed = ex.join(df_ok, "s")
+    cand = (
+        indexed.alias("a")
+        .join(
+            indexed.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .distinct()
+    )
+    jac = (
+        cand.join(docs.select(F.col("doc_id").alias("i"), F.col("sh").alias("sh_a")), "i")
+        .join(docs.select(F.col("doc_id").alias("j"), F.col("sh").alias("sh_b")), "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                * F.lit(1.0)
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jac"),
+        )
+    )
+    return (
+        jac.where(F.col("jac") >= JACCARD_THRESHOLD)
+        .select(
+            F.col("i").alias("id_a"),
+            F.col("j").alias("id_b"),
+            round_eps(F.col("jac"), 4).alias("jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,63 @@
+"""Structured-Streaming event counts — the reference's "continuous
+collection" loop (daily Metaflow batch re-runs) as an actual stream.
+
+readStream(parquet) → watermark → tumbling-window counts →
+memory/availableNow for tests; in production the same plan writes to a
+sink with checkpointing and handles late data via the watermark instead
+of the reference's full re-scan per run.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WATERMARK = "1 day"
+WINDOW = "1 day"
+
+
+def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the windowed-count stream to completion (availableNow) and
+    return the batch result: (window_start, event_type, n_events)."""
+    # The file-stream source wants a directory to monitor; expose the
+    # single parquet file through a temp-dir symlink (in production the
+    # source is a real landing directory / Kafka topic).
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"ojo_stream_{hashlib.md5(src.encode()).hexdigest()[:8]}"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    batch_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(batch_schema).parquet(stream_dir)
+    # events.ts arrives as raw int64 nanoseconds (see sources/registry.py)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    counts = (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    sink = f"stream_counts_{uuid.uuid4().hex[:8]}"
+    query = (
+        counts.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink).orderBy("window_start", "event_type")

@@ -1,0 +1,71 @@
+"""Physical-plan audits: the optimizations SURVEY.md §6 promises must
+actually appear in the optimized plan, not just in docstrings."""
+
+from __future__ import annotations
+
+from ojo_daps_mirror_spark import plans
+
+plans.load_all()
+
+
+def _plan(spark, sf_dir, key, mode="formatted", aqe=True):
+    import contextlib
+    import io
+
+    spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            plans.QUERIES[key](spark, sf_dir).explain(mode)
+        return buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    # scan must not read the join keys it doesn't need
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "l_orderkey" not in scan[0] and "l_partkey" not in scan[0]
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_local_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir):
+    # simple mode marks codegen stages with "*(n)"
+    plan = _plan(spark, sf_dir, "q1_pricing_summary", mode="simple", aqe=False)
+    assert "*(1)" in plan
+
+
+def test_weekly_stock_uses_mapside_explode(spark, sf_dir):
+    # the stock operator emits live-Mondays map-side (explode), never a
+    # per-week range join against the fact table
+    plan = _plan(spark, sf_dir, "weekly_stock")
+    assert "explode(" in plan
+
+
+def test_salary_chain_is_codegen(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "salary_extraction", mode="simple", aqe=False)
+    assert "*(1)" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time python
+    assert "ArrowEvalPython" not in plan  # no pandas udf either
+
+
+def test_minhash_no_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
