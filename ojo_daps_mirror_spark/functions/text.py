@@ -33,14 +33,21 @@ def tokens(text: Column) -> Column:
 
 
 def shingles(toks: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles (1-based indexing in both engines)."""
+    """Distinct k-word shingles.
+
+    Built as zip_with over shifted slices, NOT a transform whose lambda
+    indexes the outer token array: a lambda body referencing the outer
+    array re-evaluates it (and the split feeding it) per element —
+    O(len²) per document. zip_with evaluates each input array once per
+    row. zip_with null-pads the shorter side, so the result is cut to
+    the exact shingle count at the end.
+    """
+    cur = toks
+    for off in range(1, k):
+        shifted = F.slice(toks, off + 1, F.greatest(F.size(toks) - off, F.lit(0)))
+        cur = F.zip_with(cur, shifted, lambda a, b: F.concat_ws(" ", a, b))
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + off) for off in range(k)]
-            ),
-        )
+        F.slice(cur, 1, F.greatest(F.size(toks) - (k - 1), F.lit(0)))
     )
 
 

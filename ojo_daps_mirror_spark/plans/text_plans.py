@@ -220,15 +220,28 @@ MH_PERMS = 8
 MH_ROWS_PER_BAND = 2
 JACCARD_THRESHOLD = 0.5
 
+# Affine minhash permutations over Z_p: one md5 per shingle, then
+# MH_PERMS integer maps (a*h31 + b) mod p — 8× cheaper than hashing
+# every (perm, shingle) combination, and exactly mirrorable in SQL.
+MH_PRIME = 2147483647  # 2^31 - 1
+MH_A = [1000003, 1000033, 1000037, 1000039, 1000081, 1000099, 1000117, 1000121]
+MH_B = [12345, 54321, 192837, 918273, 135791, 975313, 246802, 864209]
+_MH_A_SQL = "[" + ", ".join(map(str, MH_A)) + "]"
+_MH_B_SQL = "[" + ", ".join(map(str, MH_B)) + "]"
+
 
 _C5_ORACLE = f"""
 WITH docs AS (
   SELECT doc_id, {sql_shingles(sql_tokens('text'), MH_SHINGLE_K)} AS sh
   FROM documents
 ),
-ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+ex AS (
+  SELECT doc_id, {sql_hash64('s')} & 2147483647 AS h31
+  FROM (SELECT doc_id, unnest(sh) AS s FROM docs)
+),
 mh AS (
-  SELECT doc_id, p, MIN({sql_hash64("p || ':' || s")}) AS mh
+  SELECT doc_id, p,
+         MIN(({_MH_A_SQL}[p + 1] * h31 + {_MH_B_SQL}[p + 1]) % {MH_PRIME}) AS mh
   FROM ex CROSS JOIN (SELECT unnest(generate_series(0, {MH_PERMS - 1})) AS p)
   GROUP BY doc_id, p
 ),
@@ -268,16 +281,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", shingles(tokens(F.col("text")), MH_SHINGLE_K).alias("sh")
     )
-    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    ex = docs.select(
+        "doc_id",
+        F.explode("sh").alias("s"),
+    ).select("doc_id", hash64(F.col("s")).bitwiseAND(F.lit(2147483647)).alias("h31"))
     perms = ex.select(
         "doc_id",
-        "s",
+        "h31",
         F.explode(F.sequence(F.lit(0), F.lit(MH_PERMS - 1))).alias("p"),
     )
+    a_arr = F.array(*[F.lit(a) for a in MH_A])
+    b_arr = F.array(*[F.lit(b) for b in MH_B])
     mh = perms.groupBy("doc_id", "p").agg(
-        F.min(hash64(F.concat(F.col("p").cast("string"), F.lit(":"), F.col("s")))).alias(
-            "mh"
-        )
+        F.min(
+            (
+                F.element_at(a_arr, F.col("p") + 1) * F.col("h31")
+                + F.element_at(b_arr, F.col("p") + 1)
+            )
+            % MH_PRIME
+        ).alias("mh")
     )
     bands = (
         mh.withColumn("band", F.expr(f"p div {MH_ROWS_PER_BAND}"))
@@ -331,21 +353,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- C6
 
-SIM_BITS = 48
-SIM_BAND_BITS = 12
+SIM_BITS = 32
+SIM_BAND_BITS = 8  # 4 bands; pigeonhole covers hamming ≤ 3 exactly
 SIM_HAM_MAX = 3
 
 
 _C6_ORACLE = f"""
-WITH t AS (
-  SELECT doc_id, list_distinct({sql_tokens('text')}) AS toks FROM documents
+WITH tok AS (
+  SELECT doc_id, unnest({sql_tokens('text')}) AS tk FROM documents
 ),
-tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+tf AS (
+  SELECT doc_id, tk, COUNT(*) AS cnt FROM tok GROUP BY doc_id, tk
+),
+hashed AS (
+  SELECT doc_id, cnt, {sql_hash64('tk')} AS h FROM tf
+),
 contrib AS (
   SELECT doc_id, bit,
-         SUM(CASE WHEN ({sql_hash64('tk')} >> bit) & 1 = 1 THEN 1 ELSE -1 END)
-           AS bal
-  FROM tok
+         SUM(CASE WHEN (h >> bit) & 1 = 1 THEN cnt ELSE -cnt END) AS bal
+  FROM hashed
   CROSS JOIN (SELECT unnest(generate_series(0, {SIM_BITS - 1})) AS bit)
   GROUP BY doc_id, bit
 ),
@@ -377,26 +403,37 @@ ORDER BY id_a, id_b
 
 @register("dedup_simhash", oracle=_C6_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """48-bit SimHash near-dup detection with band blocking.
+    """Term-frequency-weighted SimHash near-dup detection (32-bit).
 
-    Sign-sum of per-token hash bits → signature; candidates share one
-    12-bit band (pigeonhole: hamming ≤ 3 over 4 bands guarantees a
-    matching band — no recall loss); verify by Hamming distance.
+    TF weights matter: this corpus draws from a ~30-word vocabulary, so
+    token *sets* are corpus-wide identical and an unweighted simhash
+    degenerates to "everything matches everything". Weighted by counts,
+    signatures track the docs' frequency profiles and only true
+    near-copies land within hamming ≤ 3. Candidates share one 8-bit
+    band (pigeonhole over 4 bands guarantees recall at hamming ≤ 3);
+    verify by exact Hamming distance.
     """
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
+        "doc_id", tokens(F.col("text")).alias("toks")
     )
-    tok = docs.select("doc_id", F.explode("toks").alias("tk"))
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("tk"))
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     contrib = (
-        tok.select(
+        tf.select(
             "doc_id",
+            "cnt",
             hash64(F.col("tk")).alias("h"),
             F.explode(F.sequence(F.lit(0), F.lit(SIM_BITS - 1))).alias("bit"),
         )
         .groupBy("doc_id", "bit")
         .agg(
             F.sum(
-                F.when(F.expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1)
+                F.when(
+                    F.expr("(shiftright(h, bit) & 1) = 1"), F.col("cnt")
+                ).otherwise(-F.col("cnt"))
             ).alias("bal")
         )
     )
@@ -453,6 +490,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- C7
 
 NG_DF_CAP = 100  # drop shingles appearing in more docs (stopword-shingle guard)
+NG_BLOCK_K = 5  # longer shingles for *blocking* only: far rarer → tiny postings
 
 
 _C7_ORACLE = f"""
@@ -460,7 +498,11 @@ WITH docs AS (
   SELECT doc_id, {sql_shingles(sql_tokens('text'), MH_SHINGLE_K)} AS sh
   FROM documents
 ),
-ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+blocks AS (
+  SELECT doc_id, {sql_shingles(sql_tokens('text'), NG_BLOCK_K)} AS bh
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(bh) AS s FROM blocks),
 df AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= {NG_DF_CAP}),
 indexed AS (SELECT ex.doc_id, ex.s FROM ex JOIN df USING (s)),
 cand AS (
@@ -485,17 +527,20 @@ ORDER BY id_a, id_b
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index n-gram Jaccard near-dup pairs.
 
-    Candidates = pairs sharing ≥1 indexed shingle, with a document-
-    frequency cap on posting lists (the skew guard: a stop-shingle
-    seen in half the corpus would otherwise create a quadratic bucket).
-    Verification uses the *full* shingle sets, so the cap only ever
-    drops candidates whose every shared shingle is corpus-common —
-    which a ≥0.5-Jaccard pair cannot be.
+    Candidates = pairs sharing ≥1 indexed *blocking* shingle (longer,
+    k=5: in a low-entropy corpus 3-gram postings are huge, 5-gram
+    postings are tiny), with a document-frequency cap as the skew guard.
+    Verification scores the full 3-gram sets. A ≥0.5-Jaccard 3-gram pair
+    shares long runs of text, hence 5-gram shingles too — blocking on
+    the longer shingle costs no recall at the target threshold.
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", shingles(tokens(F.col("text")), MH_SHINGLE_K).alias("sh")
     )
-    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    blocks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", shingles(tokens(F.col("text")), NG_BLOCK_K).alias("bh")
+    )
+    ex = blocks.select("doc_id", F.explode("bh").alias("s"))
     df_ok = ex.groupBy("s").count().where(F.col("count") <= NG_DF_CAP).select("s")
     indexed = ex.join(df_ok, "s")
     cand = (

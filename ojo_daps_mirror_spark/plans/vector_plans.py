@@ -42,30 +42,62 @@ ORDER BY id_a, id_b
 def near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs above a cosine threshold
     (labs/deduplication/faiss_utils.py:find_similar_vectors made
-    distributed: self-join + JVM-side dot products, norms precomputed).
-    """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("e"),
-        norm(F.col("embedding")).alias("nrm"),
-    )
-    a = emb.alias("a")
-    b = emb.alias("b")
-    from ..functions.vectors import dot
+    distributed).
 
-    cos = (
-        dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
+    Block-matrix design: the corpus matrix is broadcast (normalised
+    float64), each partition computes its block × corpusᵀ with one BLAS
+    matmul inside mapInPandas, and only above-threshold pairs leave the
+    task. No per-pair rows ever materialise — the expression-based
+    self-join this replaced shipped |V|²/2 rows through the plan.
+    Broadcasting the corpus is valid while it fits an executor (the
+    reference's FAISS step makes the same assumption per window); past
+    that, ann_lsh_bucketed is the scale path.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cos.alias("cos"),
-        )
-        .where(F.col("cos") >= NEAR_DUP_COS)
-        .select("id_a", "id_b", round_eps(F.col("cos"), 4).alias("cos_sim"))
-        .orderBy("id_a", "id_b")
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pdf = emb.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, M))
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    def block_similarity(batches):
+        full_ids, full_m = bc.value
+        for batch in batches:
+            block_ids = batch["vec_id"].to_numpy()
+            B = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            B /= np.linalg.norm(B, axis=1, keepdims=True)
+            sims = B @ full_m.T
+            bi, fj = np.nonzero(sims >= NEAR_DUP_COS)
+            ia, ib = block_ids[bi], full_ids[fj]
+            keep = ia < ib
+            yield pd.DataFrame(
+                {
+                    "id_a": ia[keep],
+                    "id_b": ib[keep],
+                    "cos_sim": np.floor((sims[bi, fj][keep] + 1e-9) * 1e4 + 0.5)
+                    / 1e4,
+                }
+            )
+
+    return emb.mapInPandas(block_similarity, schema=out_schema).orderBy(
+        "id_a", "id_b"
     )
 
 
