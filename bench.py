@@ -36,6 +36,12 @@ BENCH_KEYS: list[str] = [
     "token_count",
     "quality_score",
     "multimodal_decode",
+    "tfidf_top_terms",
+    "skills_surface_forms",
+    "soc_substring_match",
+    "near_dup_windowed",
+    "revenue_rollup",
+    "repeat_orders_30d",
 ]
 
 

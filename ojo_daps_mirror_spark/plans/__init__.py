@@ -35,9 +35,11 @@ def load_all() -> None:
     """Import every plan module so registration side effects run."""
     from . import (  # noqa: F401
         dedup_plans,
+        enrich_plans,
         jobs_observatory,
         misc_plans,
         olap,
+        olap_breadth,
         text_plans,
         vector_plans,
     )

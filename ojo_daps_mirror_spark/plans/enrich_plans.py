@@ -1,0 +1,438 @@
+"""Enrichment-stage parity plans (SURVEY.md §2 A15–A20).
+
+Each plan reproduces one reference *enrich/pre_enrich* computation the
+earlier A-track didn't yet cover, re-expressed as a Catalyst plan:
+
+- requires_degree  — regex classifier (flows/enrich/requires_degree.py,
+  labs/requires_degree/model/__init__.py:EXPRESSION + nlp.clean_description)
+- location_links   — name→many-ids link table (flows/enrich/locations.py:
+  match_locations + pre_enrich/location_lookup.py)
+- soc_substring_match — exact-then-substring title matcher
+  (labs/soc/substring_utils.py:apply_model)
+- skills_surface_forms — phrase-lexicon detection over documents
+  (labs/skills/skills_detection_utils.py:detect_skills/create_phrase_matcher)
+- tfidf_top_terms  — TF-IDF representativity per document
+  (labs/skills/skills_detection_utils.py:tfidf_vectorise/
+  tfidf_representativity_mask)
+- near_dup_windowed — 8-week sliding-window vector near-dup
+  (flows/enrich/deduplication.py:get_windows/find_similar_vectors,
+  deduplication_utils.py:get_sliding_windows)
+
+All hot paths are built-in expressions (whole-stage codegen); the only
+Python is the per-window BLAS matmul in near_dup_windowed, which is the
+same corpus-fits-one-window assumption the reference's FAISS step makes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.rounding import round_eps
+from ..functions.text import STOPWORDS, hash64, sql_hash64, sql_tokens, tokens
+from ..functions.vectors import sql_cosine
+from ..sources import load_table
+from . import register
+
+# ---------------------------------------------------------------- A15
+
+# Analog of labs/requires_degree/model DEGREES — word-boundary alternation
+# over terms that exist in the testdata vocabulary.
+DEGREE_TERMS = ("vector", "stream", "merge")
+_DEGREE_RE = r"\b(" + "|".join(DEGREE_TERMS) + r")\b"
+
+_A15_ORACLE = f"""
+WITH cleaned AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(text, '^\\[|\\]$', '', 'g'),
+           '\\s+\\S+$', '') AS description
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN regexp_matches(description, '{_DEGREE_RE}')
+            THEN 1 ELSE 0 END AS requires_degree
+FROM cleaned
+ORDER BY doc_id
+"""
+
+
+@register("requires_degree", oracle=_A15_ORACLE)
+def requires_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex degree-requirement classifier.
+
+    Reference: flows/enrich/requires_degree.py applies
+    labs/requires_degree/model (clean_description: strip outer brackets,
+    strip possibly-truncated last term; then a word-boundary alternation
+    regex). Row-at-a-time Python there; one codegen'd regexp here.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"^\[|\]$", ""), r"\s+\S+$", ""
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.when(cleaned.rlike(_DEGREE_RE), 1).otherwise(0).alias(
+                "requires_degree"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------- A16
+
+_A16_ORACLE = """
+WITH lookup AS (SELECT DISTINCT p_type, p_brand FROM part)
+SELECT p.p_partkey AS job_id,
+       l.p_brand   AS location_id
+FROM part p JOIN lookup l ON p.p_type = l.p_type
+ORDER BY job_id, location_id
+"""
+
+
+@register("location_links", oracle=_A16_ORACLE)
+def location_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-name → *at least zero* standardised ids, as a link table.
+
+    Reference: flows/enrich/locations.py:match_locations joins each ad's
+    raw location string against pre_enrich/location_lookup.py's
+    name→list-of-ids lookup, emitting one link row per (ad, id) —
+    multi-match allowed. Here the lookup dim is derived from part
+    (type→brands) and broadcast; the fact table never shuffles.
+    """
+    part = load_table(spark, sf_dir, "part")
+    lookup = part.select("p_type", "p_brand").distinct()
+    return (
+        part.select(F.col("p_partkey").alias("job_id"), "p_type")
+        .join(F.broadcast(lookup), "p_type")
+        .select("job_id", F.col("p_brand").alias("location_id"))
+        .orderBy("job_id", "location_id")
+    )
+
+
+# ---------------------------------------------------------------- A17
+
+_A17_ORACLE = f"""
+WITH lookup AS (
+  SELECT DISTINCT p_name AS title FROM part WHERE p_partkey % 3 = 0
+  UNION
+  SELECT DISTINCT (string_split(p_name, ' '))[-1] AS title FROM part
+),
+cand AS (
+  SELECT p.p_partkey AS job_id,
+         l.title,
+         CASE WHEN p.p_name = l.title THEN 0 ELSE 1 END AS match_type
+  FROM part p, lookup l
+  WHERE p.p_name = l.title
+     OR position(l.title IN p.p_name) > 0
+     OR position(p.p_name IN l.title) > 0
+),
+ranked AS (
+  SELECT job_id, title, match_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY job_id
+           ORDER BY match_type, length(title) DESC, title
+         ) AS rn
+  FROM cand
+)
+SELECT job_id,
+       {sql_hash64('title')} AS soc_id,
+       title AS std_title,
+       match_type
+FROM ranked WHERE rn = 1
+ORDER BY job_id
+"""
+
+
+@register("soc_substring_match", oracle=_A17_ORACLE)
+def soc_substring_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-then-substring title→SOC matcher.
+
+    Reference: labs/soc/substring_utils.py:apply_model — try an exact
+    match of the cleaned title against the SOC title lookup; fall back to
+    bidirectional containment, preferring the most exact (longest) term.
+    The lookup is vocabulary-sized, so Spark runs this as one broadcast
+    nested-loop join with the match-type priority resolved by a
+    per-job-id window — no shuffle of the fact side beyond the window.
+    """
+    part = load_table(spark, sf_dir, "part")
+    exact = part.where(F.col("p_partkey") % 3 == 0).select(
+        F.col("p_name").alias("title")
+    )
+    words = part.select(
+        F.element_at(F.split(F.col("p_name"), " "), -1).alias("title")
+    )
+    lookup = exact.union(words).distinct()
+
+    p = part.alias("p")
+    l = lookup.alias("l")
+    raw = F.col("p.p_name")
+    title = F.col("l.title")
+    cand = p.join(
+        F.broadcast(l),
+        (raw == title) | raw.contains(title) | title.contains(raw),
+    ).select(
+        F.col("p.p_partkey").alias("job_id"),
+        title.alias("title"),
+        F.when(raw == title, 0).otherwise(1).alias("match_type"),
+    )
+    w = Window.partitionBy("job_id").orderBy(
+        "match_type", F.length("title").desc(), "title"
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "job_id",
+            hash64(F.col("title")).alias("soc_id"),
+            F.col("title").alias("std_title"),
+            "match_type",
+        )
+        .orderBy("job_id")
+    )
+
+
+# ---------------------------------------------------------------- A18
+
+LEXICON_SIZE = 20
+MIN_FORM_LEN = 4
+
+_sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+_A18_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents
+),
+lexicon AS (
+  SELECT tok FROM toks
+  WHERE length(tok) >= {MIN_FORM_LEN} AND tok NOT IN ({_sw})
+  GROUP BY tok
+  ORDER BY COUNT(*) DESC, tok
+  LIMIT {LEXICON_SIZE}
+)
+SELECT t.doc_id, t.tok AS surface_form, COUNT(*) AS n_mentions
+FROM toks t JOIN lexicon l ON t.tok = l.tok
+GROUP BY t.doc_id, t.tok
+ORDER BY doc_id, surface_form
+"""
+
+
+@register("skills_surface_forms", oracle=_A18_ORACLE)
+def skills_surface_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface-form (skill-phrase) detection over documents.
+
+    Reference: labs/skills/skills_detection_utils.py — build a surface-
+    form lexicon (create_surface_forms/deduplicate_surface_forms), then
+    detect_skills runs a spaCy PhraseMatcher over each ad. Here the
+    lexicon is the top frequent non-stopword tokens (corpus-derived, as
+    the reference's is), broadcast to a token-stream join; detection is
+    a map-side hash join + per-doc count, no Python in the loop.
+
+    The lexicon ranking window is a single-partition sort over the
+    *distinct vocabulary* (lexicon-sized, like the reference's driver-
+    side lexicon build) — the document stream itself never coalesces.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    counts = (
+        toks.where(
+            (F.length("tok") >= MIN_FORM_LEN) & ~F.col("tok").isin(*STOPWORDS)
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    lexicon = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= LEXICON_SIZE)
+        .select("tok")
+    )
+    return (
+        toks.join(F.broadcast(lexicon), "tok")
+        .groupBy("doc_id", F.col("tok").alias("surface_form"))
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .orderBy("doc_id", "surface_form")
+    )
+
+
+# ---------------------------------------------------------------- A19
+
+TFIDF_TOP_K = 3
+
+_A19_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents
+),
+filtered AS (
+  SELECT doc_id, tok FROM toks WHERE tok NOT IN ({_sw})
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM filtered GROUP BY doc_id, tok
+),
+df AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM filtered GROUP BY tok
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         tf.tf * ln(n.n_docs::DOUBLE / df.df) AS score
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, tok, score,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, tok
+         ) AS rank
+  FROM scored
+)
+SELECT doc_id, tok AS term, rank, ROUND(score + 1e-9, 4) AS tfidf
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+ORDER BY doc_id, rank
+"""
+
+
+@register("tfidf_top_terms", oracle=_A19_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k TF-IDF representative terms per document.
+
+    Reference: labs/skills/skills_detection_utils.py:tfidf_vectorise +
+    tfidf_representativity_mask (scikit-learn on the driver). Here TF
+    and DF are two shuffle-partial aggregations over the exploded token
+    stream, the corpus size joins in as a broadcast scalar, and the
+    top-k is a per-doc window — fully distributed, no vocabulary matrix
+    ever materialises.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .where(~F.col("tok").isin(*STOPWORDS))
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "tok")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .select(
+            "doc_id",
+            F.col("tok").alias("term"),
+            "rank",
+            round_eps(F.col("score"), 4).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------- A20
+
+WINDOW_DAYS = 56      # 8 weeks, the reference's INTERVAL
+WINDOW_STRIDE = 28    # interval/2 — 50% overlap sliding windows
+HORIZON_DAYS = 112    # pseudo-date horizon derived from vec_id
+N_WINDOWS = (HORIZON_DAYS - WINDOW_DAYS) // WINDOW_STRIDE + 1
+WINDOWED_COS = 0.4    # same threshold as near_dup_cosine
+
+
+def _windows_sql() -> str:
+    rows = ", ".join(
+        f"({w}, {w * WINDOW_STRIDE}, {w * WINDOW_STRIDE + WINDOW_DAYS - 1})"
+        for w in range(N_WINDOWS)
+    )
+    return f"(VALUES {rows}) AS win(w, lo, hi)"
+
+
+_A20_ORACLE = f"""
+WITH assigned AS (
+  SELECT win.w, e.vec_id, e.embedding
+  FROM embeddings e, {_windows_sql()}
+  WHERE e.vec_id % {HORIZON_DAYS} BETWEEN win.lo AND win.hi
+)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({sql_cosine('a.embedding', 'b.embedding')} + 1e-9, 4) AS cos_sim
+FROM assigned a JOIN assigned b ON a.w = b.w AND a.vec_id < b.vec_id
+WHERE {sql_cosine('a.embedding', 'b.embedding')} >= {WINDOWED_COS}
+ORDER BY id_a, id_b
+"""
+
+
+@register("near_dup_windowed", oracle=_A20_ORACLE)
+def near_dup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window vector near-duplicate pairs.
+
+    Reference: flows/enrich/deduplication.py — ads are only compared
+    within 8-week 50%-overlapping windows (deduplication_utils.py:
+    get_sliding_windows), one FAISS index per window. Here each vector
+    maps to its 1–2 windows (a generate-free explode against a tiny
+    broadcast window dim; pseudo-date is derived deterministically from
+    vec_id since testdata embeddings carry no timestamp), then one
+    applyInPandas task per window does the block matmul — exactly the
+    reference's per-window-index-fits-memory contract, and the shuffle
+    is bounded by window membership, never the full corpus squared.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    windows = spark.createDataFrame(
+        [
+            (w, w * WINDOW_STRIDE, w * WINDOW_STRIDE + WINDOW_DAYS - 1)
+            for w in range(N_WINDOWS)
+        ],
+        "w INT, lo INT, hi INT",
+    )
+    day = F.col("vec_id") % HORIZON_DAYS
+    assigned = emb.join(
+        F.broadcast(windows), (day >= F.col("lo")) & (day <= F.col("hi"))
+    ).select("w", "vec_id", "embedding")
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    def window_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        sims = M @ M.T
+        ai, bi = np.nonzero(sims >= WINDOWED_COS)
+        keep = ids[ai] < ids[bi]
+        return pd.DataFrame(
+            {
+                "id_a": ids[ai][keep],
+                "id_b": ids[bi][keep],
+                "cos_sim": np.floor((sims[ai, bi][keep] + 1e-9) * 1e4 + 0.5)
+                / 1e4,
+            }
+        )
+
+    return (
+        assigned.groupBy("w")
+        .applyInPandas(window_pairs, schema=out_schema)
+        .dropDuplicates(["id_a", "id_b"])
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,186 @@
+"""OLAP breadth plans (SURVEY.md §2 B9–B13).
+
+The reference's MySQL query layer gives its users the full relational
+toolbox (EXISTS/NOT EXISTS filters in dqa/data_getters.py, grouped
+rollup-style indicator tables in flows/aggregate/*). These plans cover
+the join/aggregation shapes the B1–B8 set didn't: semi join, anti join,
+ROLLUP grouping sets, an equi-key banded range join, and sketch-based
+approximate distinct counting (the only sane COUNT(DISTINCT) at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_eps
+from ..sources import load_table
+from . import register
+
+# ---------------------------------------------------------------- B9
+
+BIG_LINE_QTY = 45
+
+_B9_ORACLE = f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= {BIG_LINE_QTY}
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("orders_with_big_lines", oracle=_B9_ORACLE)
+def orders_with_big_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-style filter: orders having at least one high-quantity
+    line, counted by priority (TPC-H Q4 shape). A LEFT SEMI join keeps
+    the probe side unduplicated — no post-join distinct, and the filter
+    on lineitem is pushed to its scan before the shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    big = lineitem.where(F.col("l_quantity") >= BIG_LINE_QTY).select("l_orderkey")
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------- B10
+
+_B10_ORACLE = """
+SELECT p_partkey, p_name
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
+)
+ORDER BY p_partkey
+"""
+
+
+@register("parts_never_ordered", oracle=_B10_ORACLE)
+def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS: parts that never appear in lineitem, as a LEFT ANTI
+    join. part is the small side, so AQE turns this into a broadcast
+    anti join — lineitem streams through once, nothing materialises."""
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    return (
+        part.join(lineitem, F.col("p_partkey") == F.col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------- B11
+
+_B11_ORACLE = """
+SELECT COALESCE(r_name, 'ALL') AS region,
+       COALESCE(n_name, 'ALL') AS nation,
+       GROUPING(r_name, n_name) AS grp,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY grp, region, nation
+"""
+
+
+@register("revenue_rollup", oracle=_B11_ORACLE)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, nation) revenue with subtotal + grand-total rows
+    (the multi-grain indicator tables flows/aggregate/* publish, in one
+    pass). Spark expands the grouping sets map-side, so lineitem is
+    scanned and partially aggregated once for all three grains."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        lineitem.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().alias("grp"),
+            round_eps(F.sum(rev), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "grp",
+            "revenue",
+        )
+        .orderBy("grp", "region", "nation")
+    )
+
+
+# ---------------------------------------------------------------- B12
+
+FOLLOW_DAYS = 30
+
+_B12_ORACLE = f"""
+SELECT a.o_orderkey, COUNT(b.o_orderkey) AS n_follow
+FROM orders a
+LEFT JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND b.o_orderdate > a.o_orderdate
+ AND b.o_orderdate <= a.o_orderdate + INTERVAL {FOLLOW_DAYS} DAY
+GROUP BY a.o_orderkey
+ORDER BY a.o_orderkey
+"""
+
+
+@register("repeat_orders_30d", oracle=_B12_ORACLE)
+def repeat_orders_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: per order, how many follow-up orders the same
+    customer placed within 30 days. The equi key (custkey) drives the
+    shuffle; the date band is a post-join filter within each key group,
+    so this stays a sort-merge join — never a cartesian. Skewed
+    customers are AQE's problem (skew-join split), not a plan rewrite."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.alias("a")
+    b = orders.alias("b")
+    cond = (
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("b.o_orderdate") > F.col("a.o_orderdate"))
+        & (
+            F.col("b.o_orderdate")
+            <= F.col("a.o_orderdate") + F.expr(f"INTERVAL {FOLLOW_DAYS} DAYS")
+        )
+    )
+    return (
+        a.join(b, cond, "left")
+        .groupBy(F.col("a.o_orderkey").alias("o_orderkey"))
+        .agg(F.count(F.col("b.o_orderkey")).alias("n_follow"))
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------- B13
+
+
+@register("approx_distinct_users")  # rows-only: sketch is approximate by design
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type
+    (approx_count_distinct, rsd 1%). At 100 TB an exact COUNT(DISTINCT)
+    is a full shuffle of every key; the HLL sketch is fixed-size,
+    map-side mergeable, and one pass. Accuracy vs the exact count is
+    asserted in tests/test_olap_breadth.py."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        .orderBy("event_type")
+    )

@@ -1,0 +1,93 @@
+"""Semantic tests for the B9–B13 breadth plans and A15–A20 enrich plans
+beyond oracle parity (test_duckdb_parity.py covers value equality)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ojo_daps_mirror_spark import plans
+
+plans.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """HLL(rsd=1%) must land within 5% of the exact distinct count."""
+    from ojo_daps_mirror_spark.sources import load_table
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in plans.QUERIES["approx_distinct_users"](spark, SF).collect()
+    }
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, est in approx.items():
+        assert abs(est - exact[et]) <= max(1, 0.05 * exact[et]), et
+
+
+def test_soc_substring_exact_beats_substring(spark):
+    """A job title that IS a lookup title must match itself (type 0)."""
+    rows = plans.QUERIES["soc_substring_match"](spark, SF).collect()
+    by_job = {r["job_id"]: r for r in rows}
+    # p_partkey % 3 == 0 parts are in the exact lookup by construction.
+    from ojo_daps_mirror_spark.sources import load_table
+
+    names = {
+        r["p_partkey"]: r["p_name"]
+        for r in load_table(spark, SF, "part").collect()
+    }
+    exact_jobs = [k for k in names if k % 3 == 0]
+    assert exact_jobs
+    for k in exact_jobs:
+        assert by_job[k]["match_type"] == 0, k
+        assert by_job[k]["std_title"] == names[k], k
+    # Every part matches at least via its last word.
+    assert set(by_job) == set(names)
+
+
+def test_near_dup_windowed_subset_of_global(spark):
+    """Window-scoped pairs can only ever be a subset of the global
+    near-dup pair set at the same threshold."""
+    windowed = {
+        (r["id_a"], r["id_b"])
+        for r in plans.QUERIES["near_dup_windowed"](spark, SF).collect()
+    }
+    global_ = {
+        (r["id_a"], r["id_b"])
+        for r in plans.QUERIES["near_dup_cosine"](spark, SF).collect()
+    }
+    assert windowed <= global_
+    assert windowed  # threshold chosen so windows aren't empty
+
+
+def test_rollup_grand_total_consistent(spark):
+    """The ROLLUP grand total must equal the sum of the detail rows."""
+    rows = plans.QUERIES["revenue_rollup"](spark, SF).collect()
+    detail = sum(r["revenue"] for r in rows if r["grp"] == 0)
+    total = [r["revenue"] for r in rows if r["grp"] == 3]
+    assert len(total) == 1
+    assert abs(total[0] - detail) < 1e-2
+
+
+def test_requires_degree_flags_known_terms(spark):
+    """Docs whose cleaned text contains a degree term are flagged; the
+    stripped last term must NOT count (truncation guard)."""
+    from ojo_daps_mirror_spark.plans.enrich_plans import DEGREE_TERMS
+    from ojo_daps_mirror_spark.sources import load_table
+
+    flags = {
+        r["doc_id"]: r["requires_degree"]
+        for r in plans.QUERIES["requires_degree"](spark, SF).collect()
+    }
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    for r in docs:
+        words = r["text"].split()
+        expect = int(any(w in DEGREE_TERMS for w in words[:-1]))
+        assert flags[r["doc_id"]] == expect, r["doc_id"]
