@@ -123,22 +123,28 @@ def weekly_salary_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week", F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
     )
 
-    def q(col: str, p: float, alias: str):
-        return round_eps(F.percentile(F.col(col), F.lit(p)) / 1000.0, 4).alias(alias)
-
-    return (
-        sal.groupBy("week")
-        .agg(
-            q("min_annualised_salary", 0.25, "min_lower_q"),
-            q("min_annualised_salary", 0.50, "min_median"),
-            q("min_annualised_salary", 0.75, "min_upper_q"),
-            q("max_annualised_salary", 0.25, "max_lower_q"),
-            q("max_annualised_salary", 0.50, "max_median"),
-            q("max_annualised_salary", 0.75, "max_upper_q"),
-            F.count(F.lit(1)).alias("n_salaries"),
-        )
-        .orderBy("week")
+    # One percentile buffer per column (array of quantiles), not one per
+    # (column, quantile) — 2 sort-based aggregates instead of 6.
+    qs = F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+    agg = sal.groupBy("week").agg(
+        F.percentile(F.col("min_annualised_salary"), qs).alias("min_q"),
+        F.percentile(F.col("max_annualised_salary"), qs).alias("max_q"),
+        F.count(F.lit(1)).alias("n_salaries"),
     )
+
+    def q(arr: str, idx: int, alias: str):
+        return round_eps(F.col(arr)[idx] / 1000.0, 4).alias(alias)
+
+    return agg.select(
+        "week",
+        q("min_q", 0, "min_lower_q"),
+        q("min_q", 1, "min_median"),
+        q("min_q", 2, "min_upper_q"),
+        q("max_q", 0, "max_lower_q"),
+        q("max_q", 1, "max_median"),
+        q("max_q", 2, "max_upper_q"),
+        "n_salaries",
+    ).orderBy("week")
 
 
 # ---------------------------------------------------------------- A5

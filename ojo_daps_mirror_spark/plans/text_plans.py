@@ -413,37 +413,41 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     band (pigeonhole over 4 bands guarantees recall at hamming ≤ 3);
     verify by exact Hamming distance.
     """
+    import hashlib
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    bit_idx = np.arange(SIM_BITS, dtype=np.int64)
+
+    def _simhash(toks_col):
+        # md5-based hash64 matches the oracle's; the ±1 bit vector per
+        # distinct token is memoised, so cost is O(unique tokens), not
+        # O(tokens × bits). The (doc, bit) explode this replaced pushed
+        # tokens × 32 rows through a shuffle.
+        memo: dict = {}
+        out = np.empty(len(toks_col), dtype=np.int64)
+        for i, toks in enumerate(toks_col):
+            bal = np.zeros(SIM_BITS, dtype=np.int64)
+            for tk, c in Counter(toks).items():
+                vec = memo.get(tk)
+                if vec is None:
+                    h = int(hashlib.md5(tk.encode()).hexdigest()[:15], 16)
+                    vec = (((h >> bit_idx) & 1) * 2 - 1).astype(np.int64)
+                    memo[tk] = vec
+                bal += vec * c
+            out[i] = int(((bal > 0).astype(np.int64) << bit_idx).sum())
+        return pd.Series(out)
+
+    _simhash.__annotations__ = {"toks_col": pd.Series, "return": pd.Series}
+    simhash_udf = pandas_udf(_simhash, "long")
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", tokens(F.col("text")).alias("toks")
     )
-    tf = (
-        docs.select("doc_id", F.explode("toks").alias("tk"))
-        .groupBy("doc_id", "tk")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    contrib = (
-        tf.select(
-            "doc_id",
-            "cnt",
-            hash64(F.col("tk")).alias("h"),
-            F.explode(F.sequence(F.lit(0), F.lit(SIM_BITS - 1))).alias("bit"),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(
-            F.sum(
-                F.when(
-                    F.expr("(shiftright(h, bit) & 1) = 1"), F.col("cnt")
-                ).otherwise(-F.col("cnt"))
-            ).alias("bal")
-        )
-    )
-    sig = contrib.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("bal") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+    sig = docs.select("doc_id", simhash_udf(F.col("toks")).alias("simhash"))
     n_bands = SIM_BITS // SIM_BAND_BITS
     mask = (1 << SIM_BAND_BITS) - 1
     bands = sig.select(
@@ -534,27 +538,51 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares long runs of text, hence 5-gram shingles too — blocking on
     the longer shingle costs no recall at the target threshold.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", shingles(tokens(F.col("text")), MH_SHINGLE_K).alias("sh")
+    raw = load_table(spark, sf_dir, "documents")
+    ex = raw.select(
+        "doc_id", F.explode(shingles(tokens(F.col("text")), NG_BLOCK_K)).alias("s")
     )
-    blocks = load_table(spark, sf_dir, "documents").select(
-        "doc_id", shingles(tokens(F.col("text")), NG_BLOCK_K).alias("bh")
+    # Posting list per blocking shingle, capped (skew guard), pairs
+    # expanded MAP-SIDE from each sorted list — one shuffle total, vs the
+    # exploded-postings self-join this replaced (two shuffles of the full
+    # posting stream plus a join).
+    posts = (
+        ex.groupBy("s")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= NG_DF_CAP))
     )
-    ex = blocks.select("doc_id", F.explode("bh").alias("s"))
-    df_ok = ex.groupBy("s").count().where(F.col("count") <= NG_DF_CAP).select("s")
-    indexed = ex.join(df_ok, "s")
-    cand = (
-        indexed.alias("a")
-        .join(
-            indexed.alias("b"),
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ds = F.col("ds")
+    pair_arr = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("i"), y.alias("j")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+    )
+    cand = (
+        posts.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
         .distinct()
     )
+    # Verify only candidate docs: semi-join the id set before the
+    # (expensive) 3-gram shingle computation, then broadcast the tiny
+    # pair/edge frames so the doc side never shuffles.
+    cand_ids = cand.select(F.explode(F.array("i", "j")).alias("doc_id")).distinct()
+    docs = (
+        raw.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .select("doc_id", shingles(tokens(F.col("text")), MH_SHINGLE_K).alias("sh"))
+    )
     jac = (
-        cand.join(docs.select(F.col("doc_id").alias("i"), F.col("sh").alias("sh_a")), "i")
-        .join(docs.select(F.col("doc_id").alias("j"), F.col("sh").alias("sh_b")), "j")
+        docs.select(F.col("doc_id").alias("i"), F.col("sh").alias("sh_a"))
+        .join(F.broadcast(cand), "i")
+        .join(
+            docs.select(F.col("doc_id").alias("j"), F.col("sh").alias("sh_b")).hint(
+                "broadcast"
+            ),
+            "j",
+        )
         .select(
             "i",
             "j",

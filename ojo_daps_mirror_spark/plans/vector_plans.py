@@ -184,43 +184,50 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine reranks candidates. At 100 TB the per-bucket shuffle
     partitions the corpus so no task ever sees the full set. Recall vs
     the brute-force baseline is asserted in tests/test_vectors.py.
+
+    All 64 hyperplane projections happen in ONE BLAS matmul per Arrow
+    batch inside a pandas_udf — the expression-tree version this
+    replaced (16 tables × 4 bits of zip_with/aggregate over 64-element
+    literal arrays) spent multiples of the runtime in codegen alone.
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    # (N_TABLES*N_BITS) × EMB_DIM ±1 plane matrix, deterministic.
+    planes = np.array(
+        [
+            _HYPERPLANES[t][b]
+            for t in range(N_TABLES)
+            for b in range(N_BITS)
+        ],
+        dtype=np.float64,
+    )
+    bit_weights = (1 << np.arange(N_BITS)).astype(np.int64)
+
+    def _srp_buckets(e):
+        M = np.stack(e.to_numpy()).astype(np.float64)
+        bits = (M @ planes.T) > 0  # n × (tables*bits)
+        b = bits.reshape(len(M), N_TABLES, N_BITS) @ bit_weights
+        return pd.Series(list(b.astype(np.int32)))
+
+    # `from __future__ import annotations` stringifies hints, which
+    # pandas_udf can't introspect — attach concrete ones instead.
+    _srp_buckets.__annotations__ = {"e": pd.Series, "return": pd.Series}
+    srp_buckets = pandas_udf(_srp_buckets, "array<int>")
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("e"),
         norm(F.col("embedding")).alias("nrm"),
     )
 
-    def bucket_for_table(t: int) -> F.Column:
-        bits = []
-        for b in range(N_BITS):
-            plane = F.array(*[F.lit(float(s)) for s in _HYPERPLANES[t][b]])
-            proj = F.aggregate(
-                F.zip_with(F.col("e"), plane, lambda x, h: x * h),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(proj > 0, 1 << b).otherwise(0))
-        bucket = bits[0]
-        for expr in bits[1:]:
-            bucket = bucket + expr
-        return bucket
-
     buckets = emb.select(
         "vec_id",
         "e",
         "nrm",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"), bucket_for_table(t).alias("bucket")
-                    )
-                    for t in range(N_TABLES)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vec_id", "e", "nrm", "tb.tbl", "tb.bucket")
+        F.posexplode(srp_buckets(F.col("e"))).alias("tbl", "bucket"),
+    )
 
     queries = buckets.where(F.col("vec_id") % QUERY_MOD == 0)
     cand = (
