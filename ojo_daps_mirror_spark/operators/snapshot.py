@@ -102,8 +102,15 @@ def weekly_stock(
         F.date_format("week", "yyyy-MM-dd").alias("week"),
         *group_cols,
         "stock",
-        F.round(
-            100.0 * F.col("stock") / F.nullif(F.col("index_value"), F.lit(0)), 4
+        # Zero-index groups (no stock in the index window) are pinned to
+        # 0.0 rather than NULL — NULL floats round-trip as NaN via pandas
+        # and break cross-engine comparison.
+        F.coalesce(
+            F.round(
+                100.0 * F.col("stock") / F.nullif(F.col("index_value"), F.lit(0)),
+                4,
+            ),
+            F.lit(0.0),
         ).alias("indexed_volume"),
     )
 
@@ -162,6 +169,7 @@ idx AS (
   FROM ranked WHERE week_rank <= {STOCK_WEEKS} GROUP BY ALL
 )
 SELECT strftime(filled.week, '%Y-%m-%d') AS week, {g_comma}filled.stock,
-       ROUND(100.0 * filled.stock / NULLIF(idx.index_value, 0), 4) AS indexed_volume
+       COALESCE(ROUND(100.0 * filled.stock / NULLIF(idx.index_value, 0), 4), 0.0)
+         AS indexed_volume
 FROM filled {join_idx}
 """

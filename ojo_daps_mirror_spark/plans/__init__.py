@@ -36,6 +36,7 @@ def load_all() -> None:
     from . import (  # noqa: F401
         dedup_plans,
         enrich_plans,
+        extract_plans,
         jobs_observatory,
         misc_plans,
         olap,

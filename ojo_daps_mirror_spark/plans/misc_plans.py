@@ -36,3 +36,65 @@ def streaming_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     with availableNow. The batch oracle is the same aggregation in SQL —
     with no late data past the watermark the two must agree exactly."""
     return streaming_event_counts(spark, sf_dir)
+
+
+# ---------------------------------------------------------------- C13
+
+_C13_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM ordered
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f')
+         AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_start
+"""
+
+
+@register("streaming_sessions", oracle=_C13_ORACLE)
+def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (F.session_window, 30-min gap),
+    run to completion with availableNow. Batch oracle: gap-and-island
+    sessionisation, session_end = last event + gap (session_window
+    semantics). State is per-open-session, closed by the watermark —
+    the streaming twin of operators/sessionize.py."""
+    from ..streaming.sessions import streaming_user_sessions
+
+    return streaming_user_sessions(spark, sf_dir)
+
+
+# ---------------------------------------------------------------- C14
+
+_C14_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("streaming_dedup", oracle=_C14_ORACLE)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state stream dedup (dropDuplicatesWithinWatermark on
+    (user_id, event_type)) — first-seen keys only, aggregated to
+    unique-user counts per type. The streaming form of exact dedup
+    (dqa/data_getters.py:identify_duplicates) for a 100 TB ingest:
+    state expires with the watermark instead of growing unboundedly."""
+    from ..streaming.sessions import streaming_first_seen
+
+    return streaming_first_seen(spark, sf_dir)

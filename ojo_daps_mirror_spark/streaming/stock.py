@@ -21,12 +21,13 @@ WATERMARK = "1 day"
 WINDOW = "1 day"
 
 
-def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run the windowed-count stream to completion (availableNow) and
-    return the batch result: (window_start, event_type, n_events)."""
-    # The file-stream source wants a directory to monitor; expose the
-    # single parquet file through a temp-dir symlink (in production the
-    # source is a real landing directory / Kafka topic).
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events table, ts normalised to timestamp.
+
+    The file-stream source wants a directory to monitor; expose the
+    single parquet file through a temp-dir symlink (in production the
+    source is a real landing directory / Kafka topic).
+    """
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     stream_dir = os.path.join(
         tempfile.gettempdir(), f"ojo_stream_{hashlib.md5(src.encode()).hexdigest()[:8]}"
@@ -41,6 +42,28 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events.ts arrives as raw int64 nanoseconds (see sources/registry.py)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_to_completion(df: DataFrame, spark: SparkSession, mode: str = "complete"):
+    """Start ``df`` as an availableNow memory-sink stream, await it, and
+    return the sink table (caller orders it)."""
+    sink = f"stream_sink_{uuid.uuid4().hex[:8]}"
+    query = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink)
+
+
+def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the windowed-count stream to completion (availableNow) and
+    return the batch result: (window_start, event_type, n_events)."""
+    stream = events_stream(spark, sf_dir)
     counts = (
         stream.withWatermark("ts", WATERMARK)
         .groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
@@ -51,13 +74,4 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    sink = f"stream_counts_{uuid.uuid4().hex[:8]}"
-    query = (
-        counts.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return spark.table(sink).orderBy("window_start", "event_type")
+    return run_to_completion(counts, spark).orderBy("window_start", "event_type")

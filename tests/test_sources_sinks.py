@@ -1,0 +1,100 @@
+"""Sink/source round-trips and physical-layout assertions."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ojo_daps_mirror_spark.sources import load_table
+from ojo_daps_mirror_spark.sources.sinks import (
+    read_csv,
+    read_json,
+    write_bucketed,
+    write_csv,
+    write_json,
+    write_partitioned,
+)
+
+TMP = "/root/repo/.tmp_sink_test"
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clean_tmp():
+    shutil.rmtree(TMP, ignore_errors=True)
+    yield
+    shutil.rmtree(TMP, ignore_errors=True)
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+def test_partitioned_parquet_prunes(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    path = f"{TMP}/part_by_type"
+    write_partitioned(part, path, ["p_type"])
+
+    back = spark.read.parquet(path)
+    assert _sorted_rows(back, ["p_partkey", "p_brand"]) == _sorted_rows(
+        part, ["p_partkey", "p_brand"]
+    )
+
+    # A filter on the partition column must prune at the source: the scan
+    # reports it under PartitionFilters, not as a post-scan Filter.
+    plan = (
+        back.where(F.col("p_type") == "ECONOMY")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "p_type" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_bucketed_table_joins_without_exchange(spark, sf_dir):
+    # A previous session's warehouse dir survives while its catalog
+    # entries don't — drop both so saveAsTable starts clean.
+    for t in ("orders_bucketed_a", "orders_bucketed_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"/root/repo/spark-warehouse/{t}", ignore_errors=True)
+
+    orders = load_table(spark, sf_dir, "orders")
+    write_bucketed(
+        orders, "orders_bucketed_a", ["o_custkey"], num_buckets=8
+    )
+    write_bucketed(
+        orders.select("o_orderkey", "o_custkey"),
+        "orders_bucketed_b",
+        ["o_custkey"],
+        num_buckets=8,
+    )
+    a = spark.table("orders_bucketed_a")
+    b = spark.table("orders_bucketed_b").withColumnRenamed(
+        "o_orderkey", "b_orderkey"
+    )
+    joined = a.join(b, "o_custkey")
+    assert joined.count() > 0
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # Bucket co-location removes the shuffle on the join key.
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+
+
+def test_csv_round_trip(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    path = f"{TMP}/nation_csv"
+    write_csv(nation, path)
+    back = read_csv(spark, path, nation.schema)
+    assert back.schema == nation.schema
+    cols = nation.columns
+    assert _sorted_rows(back, cols) == _sorted_rows(nation, cols)
+
+
+def test_json_round_trip(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    path = f"{TMP}/customer_json"
+    write_json(cust, path)
+    back = read_json(spark, path, cust.schema)
+    cols = cust.columns
+    assert _sorted_rows(back, cols) == _sorted_rows(cust, cols)
