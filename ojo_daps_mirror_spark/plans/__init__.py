@@ -37,6 +37,7 @@ def load_all() -> None:
         dedup_plans,
         enrich_plans,
         extract_plans,
+        features_plans,
         jobs_observatory,
         misc_plans,
         olap,

@@ -69,3 +69,56 @@ def test_minhash_no_python(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_surface_forms_lexicon_is_broadcast(spark, sf_dir):
+    # detection joins the token stream against the lexicon via broadcast;
+    # the document stream must never shuffle for the join itself
+    plan = _plan(spark, sf_dir, "skills_surface_forms")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_soc_substring_match_broadcast_nlj(spark, sf_dir):
+    # lookup is vocabulary-sized: containment theta-join must be a
+    # broadcast nested loop, not a cartesian shuffle
+    plan = _plan(spark, sf_dir, "soc_substring_match")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repeat_orders_is_sortmerge_not_cartesian(spark, sf_dir):
+    # equi key drives the join; the date band is a join condition —
+    # never a cartesian
+    plan = _plan(spark, sf_dir, "repeat_orders_30d")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_orders_with_big_lines_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "orders_with_big_lines")
+    assert "LeftSemi" in plan
+    # the quantity filter must reach the lineitem scan
+    assert "GreaterThanOrEqual(l_quantity" in plan
+
+
+def test_parts_never_ordered_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "parts_never_ordered")
+    assert "LeftAnti" in plan
+
+
+def test_requires_degree_is_codegen(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "requires_degree", mode="simple", aqe=False)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_features_table_reads_documents_once_per_feature_no_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "features_table")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_tfidf_no_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tfidf_top_terms")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
