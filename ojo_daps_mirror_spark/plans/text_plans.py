@@ -278,58 +278,87 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     min aggregation and the band-bucket join; candidate verification
     touches only bucket-collision pairs — the 100 TB dedup shape.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", shingles(tokens(F.col("text")), MH_SHINGLE_K).alias("sh")
-    )
-    ex = docs.select(
+    raw = load_table(spark, sf_dir, "documents")
+    # All MH_PERMS minhashes are computed MAP-SIDE per row: one md5 per
+    # shingle (materialised once as h31s, a column projection), then 8
+    # affine maps + array_min each — no (doc, perm) explode, no shuffle
+    # until the band buckets. The exploded version this replaced pushed
+    # |shingles| × 8 rows through a groupBy.
+    hashed = raw.select(
         "doc_id",
-        F.explode("sh").alias("s"),
-    ).select("doc_id", hash64(F.col("s")).bitwiseAND(F.lit(2147483647)).alias("h31"))
-    perms = ex.select(
-        "doc_id",
-        "h31",
-        F.explode(F.sequence(F.lit(0), F.lit(MH_PERMS - 1))).alias("p"),
+        F.transform(
+            shingles(tokens(F.col("text")), MH_SHINGLE_K),
+            lambda s: hash64(s).bitwiseAND(F.lit(2147483647)),
+        ).alias("h31s"),
     )
-    a_arr = F.array(*[F.lit(a) for a in MH_A])
-    b_arr = F.array(*[F.lit(b) for b in MH_B])
-    mh = perms.groupBy("doc_id", "p").agg(
-        F.min(
-            (
-                F.element_at(a_arr, F.col("p") + 1) * F.col("h31")
-                + F.element_at(b_arr, F.col("p") + 1)
-            )
-            % MH_PRIME
-        ).alias("mh")
-    )
-    bands = (
-        mh.withColumn("band", F.expr(f"p div {MH_ROWS_PER_BAND}"))
-        .groupBy("doc_id", "band")
-        .agg(
+    h31s = F.col("h31s")
+    mins = [
+        F.array_min(
+            F.transform(h31s, lambda h: (F.lit(MH_A[p]) * h + F.lit(MH_B[p])) % MH_PRIME)
+        )
+        for p in range(MH_PERMS)
+    ]
+    n_bands = MH_PERMS // MH_ROWS_PER_BAND
+    sig_df = hashed.select("doc_id", F.array(*mins).alias("mhs"))
+    band_sigs = F.array(
+        *[
             F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("p", "mh"))),
-                        lambda x: x.getField("mh").cast("string"),
-                    ),
+                F.concat_ws(
                     ",",
+                    *[
+                        F.element_at(F.col("mhs"), b * MH_ROWS_PER_BAND + r + 1).cast(
+                            "string"
+                        )
+                        for r in range(MH_ROWS_PER_BAND)
+                    ],
                 )
-            ).alias("sig")
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig_df.select("doc_id", F.posexplode(band_sigs).alias("band", "sig"))
+    # Bucket members per (band, sig); pairs expand map-side from the
+    # sorted member list (same one-shuffle shape as ngram_jaccard).
+    buckets = (
+        bands.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
+    ds = F.col("ds")
+    pair_arr = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("i"), y.alias("j")),
+            ),
         )
     )
     cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
         .distinct()
     )
+    return _jaccard_verify(raw, cand, MH_SHINGLE_K)
+
+
+def _jaccard_verify(raw: DataFrame, cand: DataFrame, k: int) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs: semi-join the id
+    set before the shingle computation, then broadcast the tiny pair
+    frame so the doc side never shuffles."""
+    cand_ids = cand.select(F.explode(F.array("i", "j")).alias("doc_id")).distinct()
+    docs = raw.join(F.broadcast(cand_ids), "doc_id", "left_semi").select(
+        "doc_id", shingles(tokens(F.col("text")), k).alias("sh")
+    )
     jac = (
-        cand.join(docs.select(F.col("doc_id").alias("i"), F.col("sh").alias("sh_a")), "i")
-        .join(docs.select(F.col("doc_id").alias("j"), F.col("sh").alias("sh_b")), "j")
+        docs.select(F.col("doc_id").alias("i"), F.col("sh").alias("sh_a"))
+        .join(F.broadcast(cand), "i")
+        .join(
+            docs.select(F.col("doc_id").alias("j"), F.col("sh").alias("sh_b")).hint(
+                "broadcast"
+            ),
+            "j",
+        )
         .select(
             "i",
             "j",
@@ -566,39 +595,4 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
         .distinct()
     )
-    # Verify only candidate docs: semi-join the id set before the
-    # (expensive) 3-gram shingle computation, then broadcast the tiny
-    # pair/edge frames so the doc side never shuffles.
-    cand_ids = cand.select(F.explode(F.array("i", "j")).alias("doc_id")).distinct()
-    docs = (
-        raw.join(F.broadcast(cand_ids), "doc_id", "left_semi")
-        .select("doc_id", shingles(tokens(F.col("text")), MH_SHINGLE_K).alias("sh"))
-    )
-    jac = (
-        docs.select(F.col("doc_id").alias("i"), F.col("sh").alias("sh_a"))
-        .join(F.broadcast(cand), "i")
-        .join(
-            docs.select(F.col("doc_id").alias("j"), F.col("sh").alias("sh_b")).hint(
-                "broadcast"
-            ),
-            "j",
-        )
-        .select(
-            "i",
-            "j",
-            (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                * F.lit(1.0)
-                / F.size(F.array_union("sh_a", "sh_b"))
-            ).alias("jac"),
-        )
-    )
-    return (
-        jac.where(F.col("jac") >= JACCARD_THRESHOLD)
-        .select(
-            F.col("i").alias("id_a"),
-            F.col("j").alias("id_b"),
-            round_eps(F.col("jac"), 4).alias("jaccard"),
-        )
-        .orderBy("id_a", "id_b")
-    )
+    return _jaccard_verify(raw, cand, MH_SHINGLE_K)
