@@ -42,6 +42,9 @@ BENCH_KEYS: list[str] = [
     "near_dup_windowed",
     "revenue_rollup",
     "repeat_orders_30d",
+    "ann_ivf",
+    "text_dedup_pipeline",
+    "features_table",
 ]
 
 

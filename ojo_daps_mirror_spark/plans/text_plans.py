@@ -596,3 +596,52 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _jaccard_verify(raw, cand, MH_SHINGLE_K)
+
+
+# ---------------------------------------------------------------- C16
+
+_C16_ORACLE = f"""
+WITH RECURSIVE
+edges0 AS (SELECT id_a, id_b FROM ({_C5_ORACLE})),
+edges AS (
+  SELECT id_a AS x, id_b AS y FROM edges0
+  UNION ALL
+  SELECT id_b AS x, id_a AS y FROM edges0
+),
+reach AS (
+  SELECT doc_id AS v, doc_id AS w FROM documents
+  UNION
+  SELECT r.v, e.y FROM reach r JOIN edges e ON r.w = e.x
+)
+SELECT v AS doc_id, MIN(w) AS component_id,
+       v <> MIN(w) AS is_duplicate
+FROM reach GROUP BY v ORDER BY doc_id
+"""
+
+
+@register("text_dedup_pipeline", oracle=_C16_ORACLE)
+def text_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus text-dedup pipeline in one plan:
+    minhash-LSH candidates → exact-Jaccard verify → connected
+    components → min-id exemplar + keep/drop flag.
+
+    This is the reference's complete dedup flow (deduplication.py edges
+    → JobAdDuplicateLink → dqa get_duplicate_subgraphs → exemplar) over
+    *text* instead of vectors — the composition a 100 TB corpus dedup
+    actually runs. The oracle reuses C5's SQL verbatim for the edge set
+    (LSH banding is deterministic), then takes transitive closure
+    recursively, so component equality proves the distributed
+    min-label-propagation loop converged to the true closure.
+    """
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("id_a").alias("first_id"), F.col("id_b").alias("second_id")
+    )
+    comps = connected_components(pairs, docs.select("doc_id"), id_col="doc_id")
+    return comps.select(
+        "doc_id",
+        "component_id",
+        (F.col("doc_id") != F.col("component_id")).alias("is_duplicate"),
+    ).orderBy("doc_id")

@@ -341,3 +341,106 @@ def vectorise_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "dim")
     )
+
+
+# ---------------------------------------------------------------- C15
+
+IVF_K = 16        # coarse cells (the reference's IVF nlist)
+IVF_NPROBE = 2    # cells searched per query
+IVF_ITERS = 2     # fixed Lloyd iterations — deterministic, no RNG
+
+
+@register("ann_ivf")  # rows-only: approximate by design
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — the reference's actual index layout
+    (labs/deduplication/faiss_utils.py builds IndexIVFFlat with
+    quantised cells), distributed.
+
+    Coarse quantiser: k-means with deterministic seeds (the K smallest
+    vec_ids) and a fixed number of Lloyd iterations; assignment is a
+    one-matmul-per-Arrow-batch pandas_udf against the broadcast
+    centroid matrix, centroid update is a posexplode + avg per (cell,
+    dim) — both shapes hold at 100 TB (centroids stay tiny; the only
+    wide shuffle is the per-cell mean).
+
+    Search: queries probe their IVF_NPROBE nearest cells; exact cosine
+    reranks within probed cells only. Recall vs ann_topk_bruteforce is
+    asserted in tests/test_vectors.py.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+
+    # --- coarse quantiser -------------------------------------------
+    k_seeds = emb.orderBy("vec_id").limit(IVF_K)
+    cent = np.stack(
+        [r["e"] for r in k_seeds.collect()]
+    )  # K × dim; tiny, driver-held like any coarse codebook
+
+    def assign_udf(centroids: "np.ndarray", n: int = 1):
+        C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+        def _assign(e: "pd.Series") -> "pd.Series":
+            M = np.stack(e.to_numpy()).astype(np.float64)
+            M = M / np.linalg.norm(M, axis=1, keepdims=True)
+            sims = M @ C.T
+            if n == 1:
+                return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+            top = np.argsort(-sims, axis=1)[:, :n]
+            return pd.Series(list(top.astype(np.int32)))
+
+        _assign.__annotations__ = {"e": pd.Series, "return": pd.Series}
+        return pandas_udf(_assign, "int" if n == 1 else "array<int>")
+
+    for _ in range(IVF_ITERS):
+        assigned = emb.select("vec_id", "e", assign_udf(cent)(F.col("e")).alias("cell"))
+        new_cent = (
+            assigned.select("cell", F.posexplode("e").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("val").alias("v"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "v"))).alias("dv"))
+            .select("cell", F.transform("dv", lambda x: x.getField("v")).alias("c"))
+            .orderBy("cell")
+            .collect()
+        )
+        for r in new_cent:
+            cent[r["cell"]] = np.array(r["c"])
+
+    # --- search ------------------------------------------------------
+    indexed = emb.select(
+        "vec_id", "e", "nrm", assign_udf(cent)(F.col("e")).alias("cell")
+    )
+    queries = indexed.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.explode(assign_udf(cent, n=IVF_NPROBE)(F.col("e"))).alias("cell"),
+    )
+    cand = queries.join(indexed, "cell").where(
+        F.col("query_id") != F.col("vec_id")
+    )
+    from ..functions.vectors import dot
+
+    cos = dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_K)
+        .select(
+            "query_id", "neighbor_id", "rank", round_eps(F.col("cos"), 4).alias("cos_sim")
+        )
+        .orderBy("query_id", "rank")
+    )
