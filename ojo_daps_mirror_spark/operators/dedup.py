@@ -77,9 +77,18 @@ def connected_components(
         edges.selectExpr("first_id AS src", "second_id AS dst")
         .union(edges.selectExpr("second_id AS src", "first_id AS dst"))
         .distinct()
+        # Materialised once: the loop joins this every iteration, and
+        # without it the entire upstream edge pipeline (e.g. a full
+        # minhash-LSH pass) re-executes per round.
+        .localCheckpoint(eager=True)
     )
-    labels = vertices.select(
-        F.col(id_col).alias("vid"), F.col(id_col).alias("component_id")
+    # The loop only carries edge-incident vertices: isolated vertices are
+    # their own component and can never change, so keeping them in the
+    # iteration would shuffle the full vertex set every round. At corpus
+    # scale |V(edges)| ≪ |docs| (dup edges are sparse), so loop state is
+    # tiny; isolates are joined back once at the end.
+    labels = sym.select(F.col("src").alias("vid")).distinct().select(
+        "vid", F.col("vid").alias("component_id")
     )
     for _ in range(max_iterations):
         # Neighbour labels: for each dst, the min label among its sources.
@@ -108,7 +117,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("vid").alias(id_col), "component_id")
+    return (
+        vertices.select(F.col(id_col).alias("vid"))
+        .join(labels, "vid", "left")  # AQE broadcasts when labels is small
+        .select(
+            F.col("vid").alias(id_col),
+            F.coalesce("component_id", "vid").alias("component_id"),
+        )
+    )
 
 
 def split_components_by(

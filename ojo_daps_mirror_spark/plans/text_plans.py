@@ -345,10 +345,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _jaccard_verify(raw: DataFrame, cand: DataFrame, k: int) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs: semi-join the id
     set before the shingle computation, then broadcast the tiny pair
-    frame so the doc side never shuffles."""
+    frame so the doc side never shuffles.
+
+    ``cand`` is persisted first: it feeds three subtrees (two id
+    semi-joins + the pair broadcast), and without materialisation
+    Catalyst re-executes the whole candidate-generation pipeline —
+    i.e. three full corpus shingle passes — once per subtree. The
+    candidate set is bucket-capped and tiny relative to the corpus, so
+    persisting it is the standard production-LSH shape: materialise
+    candidates once, verify once.
+    """
+    cand = cand.persist()
     cand_ids = cand.select(F.explode(F.array("i", "j")).alias("doc_id")).distinct()
-    docs = raw.join(F.broadcast(cand_ids), "doc_id", "left_semi").select(
-        "doc_id", shingles(tokens(F.col("text")), k).alias("sh")
+    docs = (
+        raw.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .select("doc_id", shingles(tokens(F.col("text")), k).alias("sh"))
+        .persist()  # shingled candidate docs feed both join sides
     )
     jac = (
         docs.select(F.col("doc_id").alias("i"), F.col("sh").alias("sh_a"))
@@ -496,6 +508,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.band_val")
+    # Persisted: the band self-join reads this subtree twice, and the
+    # signature UDF (the corpus pass) must run once, not once per side.
+    bands = bands.persist()
     cand = (
         bands.alias("a")
         .join(
