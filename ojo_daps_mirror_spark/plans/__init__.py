@@ -39,7 +39,9 @@ def load_all() -> None:
         extract_plans,
         features_plans,
         jobs_observatory,
+        llm_plans,
         misc_plans,
+        parity_plans,
         olap,
         olap_breadth,
         text_plans,
