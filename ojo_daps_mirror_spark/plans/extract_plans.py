@@ -87,3 +87,45 @@ def weekly_soc_vacancies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("o_orderpriority", 1, 1).alias("soc_group"),
     )
     return weekly_stock(src, "d", ["soc_group"])
+
+# ---------------------------------------------------------------- A30
+
+_A30_ORACLE = r"""
+SELECT event_id,
+       replace(NULLIF(regexp_extract(props, '"k":(.*?)}', 1), ''), '"', '')
+         AS job_key,
+       NULLIF(regexp_extract(props, '"salaryText":(.*?),', 1), '')
+         AS job_salary_raw,
+       regexp_replace(event_type, '<[^>]*>', '', 'g') AS description,
+       'Indeed' AS data_source
+FROM events
+ORDER BY event_id
+"""
+
+
+@register("extract_indeed", oracle=_A30_ORACLE)
+def extract_indeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The indeed-board extractor variant — null-on-miss, quote-strip.
+
+    Reference: flows/extract/indeed.py:get_indeed_details/regex_search —
+    unlike reed's marker-gated parser (A21), indeed processes every raw
+    ad, each field is a non-greedy ``re.search`` returning None on miss
+    with quotes stripped from hits, and unstructured fields (salary
+    here) stay NULL when the board doesn't publish them. NULLIF models
+    regex_search's except→None; tag-strip models indeed_detail_parser's
+    .text. Map-only codegen pass, same as A21.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.replace(
+            F.nullif(F.regexp_extract(F.col("props"), r'"k":(.*?)}', 1), F.lit("")),
+            F.lit('"'),
+            F.lit(""),
+        ).alias("job_key"),
+        F.nullif(
+            F.regexp_extract(F.col("props"), r'"salaryText":(.*?),', 1), F.lit("")
+        ).alias("job_salary_raw"),
+        F.regexp_replace(F.col("event_type"), r"<[^>]*>", "").alias("description"),
+        F.lit("Indeed").alias("data_source"),
+    ).orderBy("event_id")

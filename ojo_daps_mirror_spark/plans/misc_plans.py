@@ -98,3 +98,39 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sessions import streaming_first_seen
 
     return streaming_first_seen(spark, sf_dir)
+
+
+# ---------------------------------------------------------------- C21
+
+_C21_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value) + 1e-9, 4) AS total_value,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("streaming_stateful_profiles", oracle=_C21_ORACLE)
+def streaming_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user lifetime profiles
+    maintained across micro-batches with applyInPandasWithState
+    (streaming/stateful.py) — the escape hatch for stream semantics the
+    built-in windowed/session aggregates can't express. Batch oracle:
+    the same profile as a plain GROUP BY; with availableNow draining
+    the whole source the final emitted state must agree exactly."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.stateful import streaming_user_profiles
+
+    out = streaming_user_profiles(spark, sf_dir)
+    return out.select(
+        "user_id",
+        "n_events",
+        (F.round(F.col("total_value") + 1e-9, 4)).alias("total_value"),
+        "first_ts",
+        "last_ts",
+    ).orderBy("user_id")

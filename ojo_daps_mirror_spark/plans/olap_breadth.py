@@ -184,3 +184,60 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------- B14
+
+SALT_BUCKETS = 8
+
+_B14_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice) + 1e-9, 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("skew_salted_join", oracle=_B14_ORACLE)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-proof join: explicit salting, verified against the plain
+    join's result.
+
+    The skew pattern for when AQE's runtime skew-join split isn't
+    available (e.g. a non-shuffle-joinable build side, or deterministic
+    partitioning requirements): replicate each dimension row into
+    SALT_BUCKETS copies keyed (key, salt), give each fact row a
+    deterministic salt from a hash of its own row, and join on the
+    composite key — a hot customer's orders now spread over
+    SALT_BUCKETS partitions instead of one straggler task. The
+    aggregate is salt-invariant, so the DuckDB oracle is simply the
+    unsalted join: correctness of the rewrite is what's being tested.
+
+    At 100 TB: salt only the keys the stats call hot (here all keys for
+    test determinism); partial aggregation still combines map-side, so
+    the extra dimension copies cost |dim| × SALT_BUCKETS broadcast
+    bytes, not a shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    salted_dim = customer.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(SALT_BUCKETS)]))
+    )
+    salted_fact = orders.withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(SALT_BUCKETS)).cast("int")
+    )
+    return (
+        salted_fact.join(
+            salted_dim,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (salted_fact["salt"] == salted_dim["salt"]),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice") + 1e-9, 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )

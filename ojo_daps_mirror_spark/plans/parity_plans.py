@@ -319,3 +319,80 @@ def dqa_counts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week", "board")
     )
+
+
+# ---------------------------------------------------------------- A31
+
+# (pattern, spark_replacement, duckdb_replacement) — applied in order.
+# Reference pipeline labs/skills/text_cleaning_utils.py:clean_text
+# (keep_punct=True): detect_sentences → lowercase → clean_punctuation →
+# pad_punctuation → [lemmatise: external model, stubbed out like A14] →
+# remove_stopwords → unpad_punctuation → clean_up.
+_BULLETS = "[•‣◦⁃∙]"
+_CLEAN_STEPS_PRE = [
+    ("([a-z])([A-Z])([a-z])", "$1. $2$3", "\\1. \\2\\3"),  # detect_sentences
+]
+_CLEAN_STEPS_PUNCT = [
+    (_BULLETS, ",", ","),                                  # bullets → commas
+    ("[-/:\\\\]", " ", " "),                               # -/:\ → space
+    ("[^a-zA-Z0-9,.; #(++)]", "", ""),                     # drop other symbols
+    ("([^a-zA-Z0-9 #(++)+])", " $1 ", " \\1 "),            # pad_punctuation
+]
+_UNPAD = ("( )([^a-zA-Z0-9 #(++)+])", "$2", "\\2")
+_sw_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _clean_text_spark(col):
+    x = col
+    for pat, rep, _ in _CLEAN_STEPS_PRE:
+        x = F.regexp_replace(x, pat, rep)
+    x = F.lower(x)
+    for pat, rep, _ in _CLEAN_STEPS_PUNCT:
+        x = F.regexp_replace(x, pat, rep)
+    x = F.array_join(
+        F.filter(F.split(x, " "), lambda t: ~t.isin(*STOPWORDS)), " "
+    )
+    x = F.regexp_replace(x, _UNPAD[0], _UNPAD[1])
+    return F.trim(F.regexp_replace(x, r"\s+", " "))
+
+
+def _clean_text_duck(expr: str) -> str:
+    x = expr
+    for pat, _, rep in _CLEAN_STEPS_PRE:
+        x = f"regexp_replace({x}, '{pat}', '{rep}', 'g')"
+    x = f"lower({x})"
+    for pat, _, rep in _CLEAN_STEPS_PUNCT:
+        x = f"regexp_replace({x}, '{pat}', '{rep}', 'g')"
+    x = (
+        f"array_to_string(list_filter(string_split({x}, ' '), "
+        f"t -> t NOT IN ({_sw_list})), ' ')"
+    )
+    x = f"regexp_replace({x}, '{_UNPAD[0]}', '{_UNPAD[2]}', 'g')"
+    return f"trim(regexp_replace({x}, '\\s+', ' ', 'g'))"
+
+
+_A31_ORACLE = f"""
+SELECT doc_id, {_clean_text_duck("text")} AS clean_text
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("clean_text", oracle=_A31_ORACLE)
+def clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skills text-preprocessing pipeline as one codegen expression
+    chain.
+
+    Reference: labs/skills/text_cleaning_utils.py:clean_text
+    (keep_punct=True) — camel-case sentence-boundary repair, lowercase,
+    punctuation normalisation, punctuation padding, stopword removal,
+    unpadding, whitespace collapse. The lemmatisation step calls an
+    external NLTK model and is stubbed out exactly like the reference's
+    other external models (A14 vectorise, A15 requires-degree). The
+    whole chain stays inside whole-stage codegen: a map-only pass with
+    zero Python at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", _clean_text_spark(F.col("text")).alias("clean_text")
+    ).orderBy("doc_id")
