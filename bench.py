@@ -45,6 +45,13 @@ BENCH_KEYS: list[str] = [
     "ann_ivf",
     "text_dedup_pipeline",
     "features_table",
+    "quality_gopher",
+    "decontaminate_ngram",
+    "stratified_sample",
+    "pii_scrub",
+    "clean_text",
+    "skew_salted_join",
+    "weekly_locs_vacancies",
 ]
 
 

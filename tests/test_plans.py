@@ -122,3 +122,48 @@ def test_tfidf_no_python(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tfidf_top_terms")
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    # the corpus side must never shuffle to meet the benchmark shingles
+    plan = _plan(spark, sf_dir, "decontaminate_ngram")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_is_map_only_codegen(spark, sf_dir):
+    # hash-bucket sampling must be a pure scan+filter: the only exchange
+    # is the range partitioning for the presentation orderBy — never a
+    # hash shuffle
+    plan = _plan(spark, sf_dir, "stratified_sample", mode="simple", aqe=False)
+    assert "hashpartitioning" not in plan
+    plan_f = _plan(spark, sf_dir, "stratified_sample")
+    assert "BatchEvalPython" not in plan_f and "ArrowEvalPython" not in plan_f
+
+
+def test_pii_scrub_is_codegen_map_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pii_scrub", mode="simple", aqe=False)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_clean_text_is_codegen_map_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "clean_text", mode="simple", aqe=False)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "*(1)" in plan
+
+
+def test_skew_salted_join_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "skew_salted_join")
+    assert "CartesianProduct" not in plan
+
+
+def test_location_regex_pruned_scan(spark, sf_dir):
+    # the extractor reads exactly the two columns it needs
+    plan = _plan(spark, sf_dir, "location_regex_extract")
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "c_acctbal" not in scan[0] and "c_nationkey" not in scan[0]
+
+
+def test_skills_by_soc_broadcasts_part(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "skills_by_soc_snapshot")
+    assert "BroadcastHashJoin" in plan
