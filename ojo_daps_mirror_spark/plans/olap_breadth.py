@@ -241,3 +241,104 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------- B15
+
+_B15_ORACLE = """
+SELECT COALESCE(r_name, 'ALL') AS region,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice) + 1e-9, 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY CUBE (r_name, o_orderpriority)
+ORDER BY region, priority
+"""
+
+
+@register("revenue_cube", oracle=_B15_ORACLE)
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(region, priority): all four grouping grains in ONE pass —
+    one shuffle produces total, per-region, per-priority and per-cell
+    aggregates simultaneously (Expand + single hash aggregate), where
+    naive re-aggregation would scan the fact table four times. The
+    companion of B11's ROLLUP with the full grain lattice.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.cube("r_name", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice") + 1e-9, 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("region", "priority")
+    )
+
+
+# ---------------------------------------------------------------- B16
+
+ROLLING_DAYS = 28
+
+_B16_ORACLE = f"""
+WITH daily AS (
+  SELECT o_orderpriority AS priority, o_orderdate::DATE AS d, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT priority, strftime(d, '%Y-%m-%d') AS d, n_orders,
+       ROUND(AVG(n_orders) OVER (
+         PARTITION BY priority ORDER BY d
+         RANGE BETWEEN INTERVAL {ROLLING_DAYS - 1} DAY PRECEDING AND CURRENT ROW
+       ) + 1e-9, 4) AS avg_{ROLLING_DAYS}d
+FROM daily
+ORDER BY priority, d
+"""
+
+
+@register("rolling_28d_volume", oracle=_B16_ORACLE)
+def rolling_28d_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """28-day rolling average of daily ad volume per priority group —
+    the reference's "4-week average" indicator smoothing
+    (flows/aggregate/weekly_stock.py index window) generalised to a
+    time-RANGE window frame.
+
+    Scale shape: the fact table collapses to (priority, day) partials
+    in one map-side-combined shuffle FIRST; the RANGE window then runs
+    over ~|priorities|×|days| rows — window state never touches raw
+    facts. A rows-frame would be wrong (gaps in days); the range frame
+    is gap-correct by construction.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    w = (
+        Window.partitionBy("priority")
+        .orderBy(F.unix_date(F.col("d")))
+        .rangeBetween(-(ROLLING_DAYS - 1), 0)
+    )
+    return daily.select(
+        "priority",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "n_orders",
+        F.round(F.avg("n_orders").over(w) + 1e-9, 4).alias(f"avg_{ROLLING_DAYS}d"),
+    ).orderBy("priority", "d")
