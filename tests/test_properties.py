@@ -1,0 +1,152 @@
+"""Property-based tests (hypothesis): operator semantics vs tiny pure-
+Python models on adversarial random inputs.
+
+Mirrors the reference's unit-test strategy (labs/*/tests exercise the
+pure functions with table-driven cases) but machine-generates the
+tables. Spark round-trips are slow, so examples are capped and
+deadline disabled; the value is the adversarial shapes (chains,
+cycles, self-loops, duplicate edges, empty docs, unicode-free token
+soup) rather than volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# ---------------------------------------------------------- helpers
+
+
+def _uf_components(edges, vertices):
+    """Union-find model of connected components: vid -> min vid."""
+    parent = {v: v for v in vertices}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {v: find(v) for v in vertices}
+
+
+def _py_shingles(toks, k):
+    out, seen = [], set()
+    for i in range(max(len(toks) - k + 1, 0)):
+        s = " ".join(toks[i : i + k])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+# ---------------------------------------------------------- tests
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)), max_size=40
+    ),
+    isolates=st.sets(st.integers(0, 40), max_size=10),
+)
+def test_connected_components_matches_union_find(spark, edges, isolates):
+    from pyspark.sql import functions as F
+
+    from ojo_daps_mirror_spark.operators.dedup import connected_components
+
+    vertices = sorted({v for e in edges for v in e} | isolates)
+    if not vertices:
+        return
+    vdf = spark.createDataFrame([(v,) for v in vertices], "id long")
+    edf = (
+        spark.createDataFrame(edges, "first_id long, second_id long")
+        if edges
+        else spark.createDataFrame([], "first_id long, second_id long")
+    )
+    got = {
+        r["id"]: r["component_id"]
+        for r in connected_components(edf, vdf, "id").collect()
+    }
+    # self-loops and duplicate edges must not disturb the labelling
+    want = _uf_components(edges, vertices)
+    assert got == want
+
+
+@SETTINGS
+@given(
+    toks=st.lists(st.sampled_from(["a", "b", "cc", "ddd", "e f"]), max_size=12),
+    k=st.integers(2, 4),
+)
+def test_shingles_match_python_model(spark, toks, k):
+    from pyspark.sql import functions as F
+
+    from ojo_daps_mirror_spark.functions.text import shingles
+
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    got = df.select(shingles(F.col("toks"), k).alias("s")).head()["s"]
+    assert sorted(got) == sorted(_py_shingles(toks, k))
+
+
+@SETTINGS
+@given(
+    values=st.lists(
+        st.tuples(
+            st.floats(min_value=0.5, max_value=600000, allow_nan=False),
+            st.sampled_from(["click", "view", "purchase", "signup", "error"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_salary_annualisation_invariants(spark, values):
+    """Whatever the inputs, the rule chain's outputs must satisfy the
+    reference's post-conditions (labs/salaries/common.py): min <= max,
+    both >= the min-wage floor when present, and NULL only when the
+    raw value was filtered."""
+    import datetime
+
+    from ojo_daps_mirror_spark.functions.salaries import annualise
+
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i),
+            v,
+            etype,
+            i * 7,
+            '{"k": 1}',
+        )
+        for i, (v, etype) in enumerate(values)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, value double, event_type string,"
+        " user_id long, props string",
+    )
+    from ojo_daps_mirror_spark.functions.salaries import MAX_SALARY, MIN_SALARY
+
+    out = annualise(df).select(
+        "min_annualised_salary", "max_annualised_salary"
+    ).collect()
+    for r in out:
+        lo, hi = r["min_annualised_salary"], r["max_annualised_salary"]
+        # rows surviving the chain satisfy the reference's post-conditions
+        if lo is not None and hi is not None:
+            assert lo <= hi + 1e-9
+            assert hi >= MIN_SALARY - 1e-9
+            assert hi <= MAX_SALARY + 1e-9
