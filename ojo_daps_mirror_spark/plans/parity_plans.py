@@ -396,3 +396,72 @@ def clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", _clean_text_spark(F.col("text")).alias("clean_text")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------- A32
+
+_A32_ORACLE = """
+WITH o AS (
+  SELECT COUNT(*) - COUNT(o_custkey) AS null_fk,
+         COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_pk
+  FROM orders
+),
+c AS (
+  SELECT COUNT(*) - COUNT(DISTINCT c_custkey) AS dup_pk FROM customer
+),
+orphans AS (
+  SELECT COUNT(*) AS n FROM orders
+  WHERE o_custkey IS NOT NULL
+    AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+)
+SELECT 'orders.o_custkey_null' AS check_name, null_fk AS n_violations FROM o
+UNION ALL
+SELECT 'orders.o_orderkey_dup_pk', dup_pk FROM o
+UNION ALL
+SELECT 'customer.c_custkey_dup_pk', dup_pk FROM c
+UNION ALL
+SELECT 'orders.o_custkey_fk_orphan', n FROM orphans
+ORDER BY check_name
+"""
+
+
+@register("integrity_audit", oracle=_A32_ORACLE)
+def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit: the reference's ORM schema guarantees
+    (ojd_daps/orms/raw_jobs.py primary keys / nullable flags, and the
+    dqa package's count checks) as an executable data-quality query —
+    null FKs, duplicate PKs, FK orphans, one row per check.
+
+    Scale shape: null + dup-PK checks share ONE aggregate pass per
+    table (count vs count-distinct partials); the orphan check is a
+    broadcast left-anti join counted map-side. Union of four 1-row
+    frames — total cost is two scans and one tiny shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    o = orders.agg(
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("null_fk"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("dup_pk"),
+    )
+    c = customer.agg(
+        (F.count(F.lit(1)) - F.count_distinct("c_custkey")).alias("dup_pk")
+    )
+    orphans = (
+        orders.where(F.col("o_custkey").isNotNull())
+        .join(
+            F.broadcast(customer.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        o.select(F.lit("orders.o_custkey_null").alias("check_name"),
+                 F.col("null_fk").alias("n_violations"))
+        .unionAll(
+            o.select(F.lit("orders.o_orderkey_dup_pk"), F.col("dup_pk"))
+        )
+        .unionAll(c.select(F.lit("customer.c_custkey_dup_pk"), F.col("dup_pk")))
+        .unionAll(orphans.select(F.lit("orders.o_custkey_fk_orphan"), F.col("n")))
+        .orderBy("check_name")
+    )
