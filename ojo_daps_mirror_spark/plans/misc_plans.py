@@ -134,3 +134,29 @@ def streaming_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_ts",
         "last_ts",
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------- C22
+
+_C22_ORACLE = """
+SELECT c.user_id AS user_id, COUNT(*) AS n_pairs
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+GROUP BY c.user_id
+ORDER BY c.user_id
+"""
+
+
+@register("streaming_join_conversions", oracle=_C22_ORACLE)
+def streaming_join_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming/joins.py): clicks joined
+    to the same user's purchases within the next hour, watermark-bounded
+    state on both sides, availableNow to completion. Batch oracle: the
+    equivalent banded-range self-join — with no late data past the
+    watermark the drained join must agree exactly."""
+    from ..streaming.joins import streaming_click_to_purchase
+
+    return streaming_click_to_purchase(spark, sf_dir)
