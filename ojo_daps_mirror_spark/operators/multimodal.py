@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -98,3 +99,84 @@ def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def decode_media(docs: DataFrame) -> DataFrame:
     """documents → media features via the Arrow-batched decode stage."""
     return attach_media(docs).mapInPandas(decode_batch, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes_out", LongType()),
+    ]
+)
+
+TARGET_BYTES = 64  # stand-in for a (width, height) resize target
+
+
+def _fake_resize(payload: bytes, media_type: str, use_real_codec: bool = False) -> bytes:
+    """Binary-in/binary-out transform stand-in.
+
+    A real deployment decodes, resizes to the target box and re-encodes
+    (PIL for image, ffmpeg scale filter for video); that path is gated
+    behind ``use_real_codec`` and raises until a codec is installed.
+    The stub keeps the transform deterministic and size-bounded — a
+    prefix truncation — so the Spark contract (binary column in, binary
+    column out, bounded output size) is fully testable.
+    """
+    if use_real_codec:
+        raise NotImplementedError(
+            "real media codecs are not available in this environment; "
+            "swap _fake_resize for a PIL/ffmpeg implementation"
+        )
+    return payload[:TARGET_BYTES]
+
+
+def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: re-emits the binary payload resized.
+
+    Binary stays inside the Arrow batches end-to-end — no driver
+    round-trip, no row-at-a-time Python, and each partition is
+    independent so the stage scales with executors.
+    """
+    for pdf in batches:
+        resized = [
+            _fake_resize(p, m["media_type"])
+            for p, m in zip(pdf["payload"], pdf["media_meta"])
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": [m["media_type"] for m in pdf["media_meta"]],
+                "payload": resized,
+                "n_bytes_out": [len(p) for p in resized],
+            }
+        )
+
+
+def resize_media(docs: DataFrame) -> DataFrame:
+    """documents → resized binary payloads (Arrow-batched, partition-
+    parallel). Compose after attach_media, before/after decode_media —
+    each stage is an independent mapInPandas pass over binary columns."""
+    return attach_media(docs).mapInPandas(resize_batch, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(docs: DataFrame, every_nth: int = 4) -> DataFrame:
+    """Frame-sampling plumbing: one row per sampled frame index.
+
+    The frame count comes from the (stubbed) decode stage; the
+    explosion to per-frame rows is pure Spark (posexplode over a
+    sequence) so the real codec only ever supplies counts and bytes.
+    Downstream per-frame feature extraction then parallelises over
+    frames, not videos — the skew fix for long-video corpora.
+    """
+    decoded = decode_media(docs)
+    return decoded.where(F.col("media_type") == "video").select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("n_frames_sampled") - 1, F.lit(0)),
+                F.lit(every_nth),
+            )
+        ).alias("frame_idx"),
+    )
