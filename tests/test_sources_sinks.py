@@ -98,3 +98,33 @@ def test_json_round_trip(spark, sf_dir):
     back = read_json(spark, path, cust.schema)
     cols = cust.columns
     assert _sorted_rows(back, cols) == _sorted_rows(cust, cols)
+
+
+def test_orc_round_trip(spark, sf_dir):
+    # D6: ORC is the second columnar lake format Spark ships natively;
+    # the engine's tables survive a parquet→ORC→DataFrame round trip
+    # with schema intact.
+    nation = load_table(spark, sf_dir, "nation")
+    path = f"{TMP}/nation_orc"
+    nation.write.mode("overwrite").orc(path)
+    back = spark.read.schema(nation.schema).orc(path)
+    cols = nation.columns
+    assert back.schema == nation.schema
+    assert _sorted_rows(back, cols) == _sorted_rows(nation, cols)
+
+
+def test_parquet_zstd_codec_round_trip(spark, sf_dir):
+    # Compression is a table property, not a semantic one: zstd output
+    # must read back identically (zstd is the 100 TB default — better
+    # ratio than snappy at similar scan cost).
+    cust = load_table(spark, sf_dir, "customer")
+    path = f"{TMP}/customer_zstd"
+    cust.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    back = spark.read.parquet(path)
+    cols = cust.columns
+    assert _sorted_rows(back, cols) == _sorted_rows(cust, cols)
+    import glob
+    import os
+
+    files = glob.glob(f"{path}/*.zstd.parquet") + glob.glob(f"{path}/*zstd*")
+    assert files, os.listdir(path)
