@@ -73,8 +73,15 @@ def weekly_stock(
     stock = live.groupBy("week", *group_cols).agg(F.count(F.lit(1)).alias("stock"))
 
     # Zero-fill missing (week, group) cells so indexes are well-defined.
+    # The group dimension comes from the POST-AGGREGATION stock frame,
+    # not a second scan of the fact table: every source row is live on
+    # at least one Monday (monday(d+lifespan) ≥ the Monday after d), so
+    # every group present in the data appears in `stock` — and `stock`
+    # is ~|weeks|×|groups| rows, so the distinct is driver-scale where
+    # a distinct over the facts would be a second full scan + wide
+    # shuffle at 100 TB.
     if group_cols:
-        cells = weeks.crossJoin(df.select(*group_cols).distinct())
+        cells = weeks.crossJoin(stock.select(*group_cols).distinct())
     else:
         cells = weeks
     filled = (
