@@ -52,6 +52,11 @@ BENCH_KEYS: list[str] = [
     "clean_text",
     "skew_salted_join",
     "weekly_locs_vacancies",
+    "small_qty_part_revenue",
+    "nation_market_share",
+    "bigram_lm_score",
+    "dup_span_fraction",
+    "semdedup",
 ]
 
 

@@ -40,10 +40,12 @@ def load_all() -> None:
         features_plans,
         jobs_observatory,
         llm_plans,
+        llm_plans2,
         misc_plans,
         parity_plans,
         olap,
         olap_breadth,
+        olap_breadth2,
         text_plans,
         vector_plans,
     )

@@ -1,0 +1,245 @@
+"""Training-data pipeline plans, third sweep (SURVEY.md §2 C23–C25).
+
+Corpus-statistics quality scoring (bigram language-model surprisal, the
+cheap stand-in for perplexity filtering à la CCNet/RefinedWeb),
+cross-document duplicated-span measurement (the fraction Lee et al.'s
+"Deduplicating Training Data" removes with suffix arrays, here via
+fixed-k shingles), and SemDeDup-style semantic deduplication over
+embedding clusters (Abbas et al. 2023). None exist in the reference
+(its corpus is job ads); all are standard LLM-corpus stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.rounding import round_eps, sql_round
+from ..functions.text import hash64, shingles, sql_hash64, sql_shingles, sql_tokens, tokens
+from ..sources import load_table
+from . import register
+
+# ---------------------------------------------------------------- C23
+
+_C23_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {sql_tokens("text")} AS t FROM documents
+),
+bgs AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks
+),
+c2 AS (
+  SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM bgs GROUP BY bg
+),
+cp AS (
+  SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(c2) AS BIGINT) AS cp
+  FROM c2 GROUP BY w1
+)
+SELECT bgs.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       {sql_round("AVG(-ln(c2.c2 * 1.0 / cp.cp))", 4)} AS surprisal
+FROM bgs
+JOIN c2 ON c2.bg = bgs.bg
+JOIN cp ON cp.w1 = string_split(bgs.bg, ' ')[1]
+GROUP BY bgs.doc_id
+ORDER BY bgs.doc_id
+"""
+
+
+@register("bigram_lm_score", oracle=_C23_ORACLE)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM surprisal per document — the cheap perplexity
+    filter: score = mean −ln P(wᵢ | wᵢ₋₁) with P = c(wᵢ₋₁wᵢ)/c(wᵢ₋₁·)
+    estimated from the corpus itself (CCNet trains on its own corpus
+    slice the same way). High surprisal = improbable token sequences =
+    low-quality / out-of-domain text.
+
+    Scale shape: bigram instances explode map-side (one zip_with, no
+    shuffle); counts attach as unbounded COUNT windows over the bigram
+    key and the prefix key rather than count-table joins — each window
+    is ONE shuffle of the narrow (doc_id, bg) frame, where the join
+    formulation shuffles the same frame per join AND recomputes the
+    explode per branch (measured 1.5 → 1.3 s at sf0.1; the win grows
+    with corpus size because no count table is ever materialised or
+    broadcast). Skew note: a hot prefix lands one window partition on
+    one task — the same placement a count-join's shuffle would produce,
+    with AQE handling either. Surprisal is reported as a POSITIVE mean
+    (−ln p ≥ 0) so the cross-engine boundary-rounding nudge (round_eps)
+    stays in its valid domain.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    # All bigram INSTANCES (not distinct — multiplicity is the model).
+    bg_arr = F.slice(
+        F.zip_with(
+            t,
+            F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        1,
+        F.greatest(F.size(t) - 1, F.lit(0)),
+    )
+    bgs = docs.select("doc_id", F.explode(bg_arr).alias("bg")).withColumn(
+        "w1", F.split(F.col("bg"), " ")[0]
+    )
+    return (
+        bgs.withColumn("c2", F.count(F.lit(1)).over(Window.partitionBy("bg")))
+        .withColumn("cp", F.count(F.lit(1)).over(Window.partitionBy("w1")))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            round_eps(F.avg(-F.log(F.col("c2") / F.col("cp"))), 4).alias(
+                "surprisal"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------- C24
+
+SPAN_K = 5  # span length in tokens; ~5% of distinct 5-spans repeat cross-doc
+
+_C24_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {sql_tokens("text")} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, {sql_hash64("unnest(" + sql_shingles("t", SPAN_K) + ")")} AS h
+  FROM toks
+),
+cnt AS (
+  SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM sh GROUP BY h
+)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN cnt.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       {sql_round("SUM(CASE WHEN cnt.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0 "
+                  "/ COUNT(*)", 4)} AS shared_frac
+FROM sh JOIN cnt USING (h)
+GROUP BY sh.doc_id
+ORDER BY sh.doc_id
+"""
+
+
+@register("dup_span_fraction", oracle=_C24_ORACLE)
+def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span measurement: per document, the
+    fraction of its distinct SPAN_K-token spans that also occur in at
+    least one OTHER document — the signal behind exact-substring train-
+    set dedup (Lee et al. 2022), with fixed-k shingles standing in for
+    suffix-array maximal matches.
+
+    Scale shape: spans are hashed to 64-bit map-side so the wide ops
+    move 8-byte (doc_id, h) rows, never span text. Doc counts attach as
+    ONE unbounded COUNT window over the hash key instead of a count
+    groupBy joined back (which shuffles the same frame twice and
+    recomputes the shingle explode per branch — measured 3.7 → 1.9 s at
+    sf0.1). Two shuffles total — by span hash, then the per-doc agg —
+    and the fact scan reads only (doc_id, text). Skew note: a span
+    shared by millions of docs lands one window partition on one task,
+    exactly where a count-join's probe shuffle would put it anyway.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(shingles(tokens(F.col("text")), SPAN_K)).alias("s"),
+    ).select("doc_id", hash64(F.col("s")).alias("h"))
+    # shingles() is per-doc distinct, so COUNT(*) per (h) counts docs.
+    shared = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    return (
+        sh.withColumn("n_docs", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(shared).cast("bigint").alias("n_shared"),
+            round_eps(F.sum(shared) / F.count(F.lit(1)), 4).alias("shared_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------- C25
+
+SEMDEDUP_K = 16     # coarse clusters (same codebook scale as ann_ivf)
+SEMDEDUP_TAU = 0.35  # intra-cluster cosine above which later ids drop
+
+
+@register("semdedup")  # rows-only: k-means clustering is not SQL-expressible
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with a coarse
+    deterministic quantiser, then inside each cluster drop every vector
+    that is ≥ TAU cosine-similar to an already-kept lower-id vector.
+    Near-dup *pairs* across cluster boundaries are missed by design —
+    that locality is exactly what makes the O(n²) pairwise step
+    tractable (n²/K per cluster instead of n² global).
+
+    Scale shape: the codebook is tiny and driver-held (like ann_ivf's);
+    assignment is one BLAS matmul per Arrow batch; the only shuffle
+    repartitions by cell, and each cell's greedy scan is an in-memory
+    BLAS pass over that cell only. Soundness (every drop has a kept
+    ≥ TAU earlier neighbour in-cell; kept set pairwise < TAU in-cell)
+    is asserted against exact numpy in tests/test_vectors.py.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    # Deterministic codebook: the K smallest vec_ids' vectors (the same
+    # seed rule as ann_ivf's quantiser, without Lloyd refinement — the
+    # cluster geometry only gates which pairs are COMPARED).
+    seeds = emb.orderBy("vec_id").limit(SEMDEDUP_K).collect()
+    cent = np.stack([r["e"] for r in seeds])
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+    def _assign(e: "pd.Series") -> "pd.Series":
+        M = np.stack(e.to_numpy()).astype(np.float64)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        return pd.Series(np.argmax(M @ cent.T, axis=1).astype(np.int32))
+
+    _assign.__annotations__ = {"e": pd.Series, "return": pd.Series}
+    assign = pandas_udf(_assign, "int")
+
+    assigned = emb.select("vec_id", "e", assign(F.col("e")).alias("cell"))
+
+    out_schema = "vec_id bigint, cell int, keep boolean, max_kept_cos double"
+
+    def _greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        M = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        kept: list[int] = []
+        keep = np.zeros(len(pdf), dtype=bool)
+        max_cos = np.full(len(pdf), np.nan)
+        for j in range(len(pdf)):
+            if kept:
+                sims = M[kept] @ M[j]
+                max_cos[j] = float(sims.max())
+                if max_cos[j] >= SEMDEDUP_TAU:
+                    continue
+            keep[j] = True
+            kept.append(j)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cell": pdf["cell"],
+                "keep": keep,
+                "max_kept_cos": np.round(max_cos, 4),
+            }
+        )
+
+    return (
+        assigned.groupBy("cell")
+        .applyInPandas(_greedy, out_schema)
+        .orderBy("vec_id")
+    )

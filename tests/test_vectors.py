@@ -68,3 +68,43 @@ def test_ivf_cosines_are_exact_for_returned_pairs(spark, sf_dir):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact:
             assert abs(exact[key] - r["cos_sim"]) < 1e-9
+
+
+def test_semdedup_greedy_is_sound(spark, sf_dir):
+    """Every drop is justified by a kept earlier in-cell neighbour at
+    ≥ TAU exact cosine, and the kept set is pairwise < TAU in-cell —
+    verified against exact numpy on the full sf0.001 table."""
+    import numpy as np
+
+    from ojo_daps_mirror_spark.plans.llm_plans2 import SEMDEDUP_TAU
+    from ojo_daps_mirror_spark.sources import load_table
+
+    out = {
+        r["vec_id"]: r
+        for r in plans.QUERIES["semdedup"](spark, sf_dir).collect()
+    }
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    assert set(out) == set(emb)  # one verdict per vector
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    by_cell: dict[int, list[int]] = {}
+    for vid, r in sorted(out.items()):
+        by_cell.setdefault(r["cell"], []).append(vid)
+
+    for cell, vids in by_cell.items():
+        kept = [v for v in vids if out[v]["keep"]]
+        for v in vids:
+            earlier_kept = [k for k in kept if k < v]
+            if out[v]["keep"]:
+                assert all(
+                    cos(emb[v], emb[k]) < SEMDEDUP_TAU for k in earlier_kept
+                ), (cell, v)
+            else:
+                assert any(
+                    cos(emb[v], emb[k]) >= SEMDEDUP_TAU for k in earlier_kept
+                ), (cell, v)
