@@ -57,6 +57,9 @@ BENCH_KEYS: list[str] = [
     "bigram_lm_score",
     "dup_span_fraction",
     "semdedup",
+    "funnel_conversion",
+    "scd2_user_state",
+    "trade_pagerank",
 ]
 
 

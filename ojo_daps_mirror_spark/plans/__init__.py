@@ -38,6 +38,7 @@ def load_all() -> None:
         enrich_plans,
         extract_plans,
         features_plans,
+        graph_plans,
         jobs_observatory,
         llm_plans,
         llm_plans2,

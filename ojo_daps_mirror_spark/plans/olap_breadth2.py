@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..sources import load_table
@@ -270,4 +271,143 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share")
         )
         .orderBy("order_year")
+    )
+
+
+# ---------------------------------------------------------------- B21
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+_B21_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT '1_view' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+UNION ALL
+SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+ORDER BY step
+"""
+
+
+@register("funnel_conversion", oracle=_B21_ORACLE)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion counts: users who viewed, then clicked
+    strictly after their first view, then purchased strictly after that
+    first qualifying click — the sequential-pattern query behind every
+    product-analytics funnel.
+
+    Each stage is a conditional MIN aggregate of the event stream keyed
+    by user, joined to the previous stage's frontier. The per-stage
+    frames shrink monotonically (stage N ⊆ stage N−1) and carry 2
+    columns, so stages 2 and 3 broadcast their frontier into a filtered
+    re-scan of events: the event table is never shuffled, only
+    aggregated with map-side combine per stage. At 100 TB the frontier
+    frames (≤ |users|) shuffle-join instead — still ~0.1% of the fact
+    bytes.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    s1 = (
+        events.where(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        events.where(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(F.broadcast(s1), "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        events.where(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(F.broadcast(s2), "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = [
+        s.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(label).alias("step"), "n_users"
+        )
+        for label, s in (("1_view", s1), ("2_click", s2), ("3_purchase", s3))
+    ]
+    return counts[0].unionByName(counts[1]).unionByName(counts[2]).orderBy("step")
+
+
+# ---------------------------------------------------------------- B22
+
+_B22_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT user_id, event_type AS state, ts, event_id
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, state,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       COALESCE(strftime(LEAD(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id),
+                         '%Y-%m-%d %H:%M:%S'), 'open') AS valid_to
+FROM changes
+ORDER BY user_id, valid_from
+"""
+
+
+@register("scd2_user_state", oracle=_B22_ORACLE)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event log:
+    compress each user's event-type run-lengths into validity intervals
+    [valid_from, valid_to), open-ended on the current state — the
+    standard warehouse dimension-history pattern.
+
+    One window partitioning (user_id, ordered by ts with the unique
+    event_id as tiebreak) serves both the change detection (LAG) and
+    the interval close (LEAD on the change rows): a single shuffle by
+    user_id, already required by the semantics, and the second window
+    reuses the first's partitioning — Catalyst plans no extra exchange
+    (asserted in tests/test_plans.py).
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", F.col("event_type").alias("state"), "ts", "event_id")
+    )
+    return (
+        changes.withColumn("next_ts", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            "state",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+            F.coalesce(
+                F.date_format("next_ts", "yyyy-MM-dd HH:mm:ss"), F.lit("open")
+            ).alias("valid_to"),
+        )
+        .orderBy("user_id", "valid_from")
     )

@@ -1,0 +1,74 @@
+"""PageRank: the distributed loop must match exact power iteration."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ojo_daps_mirror_spark import plans
+
+plans.load_all()
+
+
+def _numpy_pagerank(edges, alpha, iters):
+    """Dense reference power iteration with uniform dangling spread."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for s, d, w in edges:
+        W[idx[s], idx[d]] += w
+    out = W.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        dm = 0.0
+        for i in range(n):
+            if out[i] > 0:
+                contrib += r[i] * W[i] / out[i]
+            else:
+                dm += r[i]
+        r = (1 - alpha) / n + alpha * (contrib + dm / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_power_iteration(spark, sf_dir):
+    from ojo_daps_mirror_spark.operators.graph import (
+        PAGERANK_ALPHA,
+        PAGERANK_ITERS,
+        pagerank,
+    )
+    from ojo_daps_mirror_spark.plans.graph_plans import trade_edges
+
+    edge_rows = [
+        (r["src"], r["dst"], r["weight"])
+        for r in trade_edges(spark, sf_dir).collect()
+    ]
+    expected = _numpy_pagerank(edge_rows, PAGERANK_ALPHA, PAGERANK_ITERS)
+
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(trade_edges(spark, sf_dir)).collect()
+    }
+    assert set(got) == set(expected)
+    diffs = [abs(got[v] - expected[v]) for v in got]
+    assert max(diffs) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # proper distribution
+
+
+def test_pagerank_dangling_nodes_keep_mass():
+    """A pure sink keeps teleport + dangling mass; totals stay 1."""
+    from ojo_daps_mirror_spark.operators.graph import pagerank
+    from ojo_daps_mirror_spark.session import get_spark
+
+    spark = get_spark(app_name="ojo-tests")
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0)], ["src", "dst", "weight"]
+    )
+    got = {r["id"]: r["rank"] for r in pagerank(edges).collect()}
+    expected = _numpy_pagerank(
+        [("a", "b", 1.0), ("b", "c", 1.0)], 0.85, 10
+    )
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+    for v in got:
+        assert abs(got[v] - expected[v]) < 1e-12
+    assert got["c"] > got["b"] > got["a"]  # downstream accumulates rank

@@ -167,3 +167,48 @@ def test_location_regex_pruned_scan(spark, sf_dir):
 def test_skills_by_soc_broadcasts_part(spark, sf_dir):
     plan = _plan(spark, sf_dir, "skills_by_soc_snapshot")
     assert "BroadcastHashJoin" in plan
+
+
+def test_small_qty_revenue_pruned_scan_and_broadcast_part(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "small_qty_part_revenue")
+    # fact scan reads only the 3 needed columns
+    assert "struct<l_partkey:bigint,l_quantity:double,l_extendedprice:double>" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_large_volume_customers_broadcasts_filtered_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "large_volume_customers")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dormant_rich_customers_pushes_date_and_anti_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dormant_rich_customers")
+    assert "LeftAnti" in plan
+    # the dormancy cutoff must reach the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_nation_market_share_no_cartesian_one_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "nation_market_share")
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan  # region prune is a semi join, not distinct+join
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    # LAG and LEAD share one user_id partitioning: exactly one hash
+    # exchange (plus the presentation-sort range exchange)
+    plan = _plan(spark, sf_dir, "scd2_user_state", aqe=False)
+    assert plan.count("hashpartitioning(") == 1
+
+
+def test_dup_span_two_hash_shuffles(spark, sf_dir):
+    # window count by span hash + per-doc aggregate: two hash exchanges
+    plan = _plan(spark, sf_dir, "dup_span_fraction", aqe=False)
+    assert plan.count("hashpartitioning(") == 2
+
+
+def test_funnel_frontiers_are_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "funnel_conversion")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
