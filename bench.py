@@ -59,7 +59,12 @@ BENCH_KEYS: list[str] = [
     "semdedup",
     "funnel_conversion",
     "scd2_user_state",
-    "trade_pagerank",
+    # trade_pagerank is exactness-tested (tests/test_graph.py) but not a
+    # headline key: a 10-round driver loop is scheduler-bound at local
+    # scale (~1 s/round of fixed job overhead regardless of data), which
+    # measures the harness, not the operator. Same treatment as the
+    # iterative dedup_components loop (benched only inside
+    # text_dedup_pipeline).
 ]
 
 

@@ -39,13 +39,23 @@ def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("double").alias("weight"))
     )
-    fwd = pairs.select(
-        F.col("cust").alias("src"), F.col("supp").alias("dst"), "weight"
+    # Both directions via a map-side explode, NOT a union of two reads:
+    # a union re-executes the join+aggregate pipeline per branch.
+    both = F.explode(
+        F.array(
+            F.struct(
+                F.col("cust").alias("src"),
+                F.col("supp").alias("dst"),
+                F.col("weight"),
+            ),
+            F.struct(
+                F.col("supp").alias("src"),
+                F.col("cust").alias("dst"),
+                F.col("weight"),
+            ),
+        )
     )
-    rev = pairs.select(
-        F.col("supp").alias("src"), F.col("cust").alias("dst"), "weight"
-    )
-    return fwd.unionByName(rev)
+    return pairs.select(both.alias("e")).select("e.*")
 
 
 @register("trade_pagerank")  # rows-only: iterative fixed point, not SQL
