@@ -87,14 +87,21 @@ def main() -> None:
     # identical full plan (scan → shuffle → sink) — nothing is cached
     # between them except JIT'd code and parquet footers.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for key in keys:
-        plans.QUERIES[key](spark, SF_DIR).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        start = time.perf_counter()
-        df = plans.QUERIES[key](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[key] = round(time.perf_counter() - start, 3)
+        # Per-query isolation: one broken plan must not zero the round's
+        # perf signal — record the error and keep timing the rest.
+        try:
+            plans.QUERIES[key](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            start = time.perf_counter()
+            df = plans.QUERIES[key](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            timings[key] = round(time.perf_counter() - start, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[key] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: {key} FAILED: {errors[key]}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -104,6 +111,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     sys.stdout.flush()
     spark.stop()

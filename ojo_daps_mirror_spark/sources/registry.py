@@ -29,17 +29,30 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one named table from a scale-factor directory.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader only accepts as a raw int64
-    (``spark.sql.legacy.parquet.nanosAsLong=true``, set in session.py);
-    we convert to a microsecond timestamp at the scan so every downstream
-    plan sees a normal timestamp column, matching DuckDB's ns→µs cast.
+    ``events.ts`` appears in two encodings depending on the writer:
+    parquet TIMESTAMP(NANOS) read as a raw int64
+    (``spark.sql.legacy.parquet.nanosAsLong=true``, set in session.py),
+    or parquet ``timestamp[us]`` without a timezone, which Spark reads as
+    TIMESTAMP_NTZ. Both are normalised to a plain (local-zone) TIMESTAMP
+    at the scan so every downstream plan — ``unix_micros``,
+    ``withWatermark``, window functions — sees one canonical type,
+    matching DuckDB's behaviour on the same files.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_ts(df)
+    return df
+
+
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalise a ``ts`` column to plain TIMESTAMP regardless of encoding."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

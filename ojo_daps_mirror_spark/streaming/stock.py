@@ -39,10 +39,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     batch_schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(batch_schema).parquet(stream_dir)
-    # events.ts arrives as raw int64 nanoseconds (see sources/registry.py)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    # events.ts arrives as int64 nanos or TIMESTAMP_NTZ depending on the
+    # writer; normalise to plain TIMESTAMP (see sources/registry.py)
+    from ..sources.registry import normalize_ts
+
+    return normalize_ts(stream)
 
 
 def run_to_completion(df: DataFrame, spark: SparkSession, mode: str = "complete"):
