@@ -226,6 +226,13 @@ JACCARD_THRESHOLD = 0.5
 MH_PRIME = 2147483647  # 2^31 - 1
 MH_A = [1000003, 1000033, 1000037, 1000039, 1000081, 1000099, 1000117, 1000121]
 MH_B = [12345, 54321, 192837, 918273, 135791, 975313, 246802, 864209]
+# Hot-bucket skew guard: a band bucket holding > MH_BUCKET_CAP docs is a
+# degenerate boilerplate cluster — its O(n²) pair expansion would land in
+# ONE task. Real near-dup groups collide in several bands, so dropping a
+# giant bucket loses pairs only for clusters that big, which the exact
+# connected-components pass downstream re-links anyway. Same role as
+# NG_DF_CAP below.
+MH_BUCKET_CAP = 200
 _MH_A_SQL = "[" + ", ".join(map(str, MH_A)) + "]"
 _MH_B_SQL = "[" + ", ".join(map(str, MH_B)) + "]"
 
@@ -250,10 +257,15 @@ bands AS (
          md5(string_agg(mh::VARCHAR, ',' ORDER BY p)) AS sig
   FROM mh GROUP BY doc_id, p // {MH_ROWS_PER_BAND}
 ),
+bsize AS (
+  SELECT band, sig FROM bands
+  GROUP BY band, sig HAVING COUNT(*) BETWEEN 2 AND {MH_BUCKET_CAP}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  JOIN bsize s ON s.band = a.band AND s.sig = a.sig
 ),
 jac AS (
   SELECT i, j,
@@ -322,7 +334,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         bands.groupBy("band", "sig")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
-        .where(F.size("ds") >= 2)
+        .where((F.size("ds") >= 2) & (F.size("ds") <= MH_BUCKET_CAP))
     )
     ds = F.col("ds")
     pair_arr = F.flatten(
