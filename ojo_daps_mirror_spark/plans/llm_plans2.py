@@ -167,8 +167,15 @@ def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- C25
 
-SEMDEDUP_K = 16     # coarse clusters (same codebook scale as ann_ivf)
 SEMDEDUP_TAU = 0.35  # intra-cluster cosine above which later ids drop
+# Shard guard for the per-cell greedy pass: applyInPandas groups are
+# ATOMIC (AQE cannot split them), so a degenerate giant cell would pin
+# one task with corpus/K vectors. Cells above the cap split into
+# ceil(size/cap) vec_id-hash shards; greedy runs per shard, trading a
+# few missed intra-cell dups (across shards of the SAME cell) for a
+# bounded task size — the same recall trade SemDeDup already makes at
+# every cell boundary.
+SEMDEDUP_CELL_CAP = 100_000
 
 
 @register("semdedup")  # rows-only: k-means clustering is not SQL-expressible
@@ -180,25 +187,31 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     that locality is exactly what makes the O(n²) pairwise step
     tractable (n²/K per cluster instead of n² global).
 
-    Scale shape: the codebook is tiny and driver-held (like ann_ivf's);
-    assignment is one BLAS matmul per Arrow batch; the only shuffle
-    repartitions by cell, and each cell's greedy scan is an in-memory
-    BLAS pass over that cell only. Soundness (every drop has a kept
-    ≥ TAU earlier neighbour in-cell; kept set pairwise < TAU in-cell)
-    is asserted against exact numpy in tests/test_vectors.py.
+    Scale shape: K = ~√n cells (ann_ivf's codebook_k — a fixed K would
+    put corpus/K vectors in one task); the codebook is tiny and
+    driver-held; assignment is one BLAS matmul per Arrow batch; the
+    only shuffle repartitions by (cell, shard), and each group's greedy
+    scan is an in-memory BLAS pass over that group only, with
+    SEMDEDUP_CELL_CAP bounding group size. Soundness (every drop has a
+    kept ≥ TAU earlier neighbour in-group; kept set pairwise < TAU
+    in-group) is asserted against exact numpy in tests/test_vectors.py.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.pandas.functions import pandas_udf
 
+    from .vector_plans import codebook_k
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
+    n = emb.count()  # parquet row-count metadata; no data scan
+    semdedup_k = codebook_k(n)
 
     # Deterministic codebook: the K smallest vec_ids' vectors (the same
     # seed rule as ann_ivf's quantiser, without Lloyd refinement — the
     # cluster geometry only gates which pairs are COMPARED).
-    seeds = emb.orderBy("vec_id").limit(SEMDEDUP_K).collect()
+    seeds = emb.orderBy("vec_id").limit(semdedup_k).collect()
     cent = np.stack([r["e"] for r in seeds])
     cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
 
@@ -211,6 +224,17 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = pandas_udf(_assign, "int")
 
     assigned = emb.select("vec_id", "e", assign(F.col("e")).alias("cell"))
+
+    # Giant-cell shard guard: split any cell above the cap into
+    # vec_id-hash shards so no applyInPandas group exceeds ~CAP rows.
+    # Cell sizes come from a map-side-combined count agg (K rows)
+    # broadcast back — a window over cell would re-shuffle the whole
+    # embedding frame a second time.
+    cells = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n"))
+    n_shards = F.ceil(F.col("cell_n") / F.lit(SEMDEDUP_CELL_CAP)).cast("int")
+    assigned = assigned.join(F.broadcast(cells), "cell").withColumn(
+        "shard", F.pmod(F.col("vec_id"), n_shards).cast("int")
+    )
 
     out_schema = "vec_id bigint, cell int, keep boolean, max_kept_cos double"
 
@@ -239,7 +263,7 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        assigned.groupBy("cell")
+        assigned.groupBy("cell", "shard")
         .applyInPandas(_greedy, out_schema)
         .orderBy("vec_id")
     )

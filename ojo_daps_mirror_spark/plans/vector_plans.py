@@ -38,67 +38,77 @@ ORDER BY id_a, id_b
 """
 
 
+# Exact all-pairs block size: each similarity task holds ~2 blocks of
+# normalised float64 vectors (2 × BLOCK_TARGET × dim × 8 B ≈ 4 MB at
+# dim 64), so executor memory never sees the corpus.
+BLOCK_TARGET = 4096
+
+
 @register("near_dup_cosine", oracle=_A13_ORACLE)
 def near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs above a cosine threshold
     (labs/deduplication/faiss_utils.py:find_similar_vectors made
     distributed).
 
-    Block-matrix design: the corpus matrix is broadcast (normalised
-    float64), each partition computes its block × corpusᵀ with one BLAS
-    matmul inside mapInPandas, and only above-threshold pairs leave the
-    task. No per-pair rows ever materialise — the expression-based
-    self-join this replaced shipped |V|²/2 rows through the plan.
-    Broadcasting the corpus is valid while it fits an executor (the
-    reference's FAISS step makes the same assumption per window); past
-    that, ann_lsh_bucketed is the scale path.
+    Block-pair design — exact, with NO driver-side corpus collect: the
+    corpus splits into NB hash blocks; every vector is replicated to its
+    NB unordered block-pairs; one shuffle groups each (block_i, block_j)
+    pair into a task that runs a single BLAS matmul and emits only the
+    above-threshold pairs. Each unordered vector pair lands in exactly
+    one block-pair group, so the output needs no dedup. Shuffle volume
+    is NB × corpus (NB ≈ n / BLOCK_TARGET) — the unavoidable cost of an
+    EXACT all-pairs join; recall-tolerant pipelines use ann_lsh_bucketed
+    / ann_ivf candidates instead.
     """
     import numpy as np
     import pandas as pd
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    pdf = emb.toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, M))
+    n = emb.count()  # parquet row-count metadata; no data scan
+    nb = max(1, -(-n // BLOCK_TARGET))
 
-    out_schema = StructType(
-        [
-            StructField("id_a", LongType()),
-            StructField("id_b", LongType()),
-            StructField("cos_sim", DoubleType()),
-        ]
+    blk = F.pmod(F.col("vec_id"), F.lit(nb)).cast("int")
+    # Vector in block i joins every unordered pair {i, j}: struct keys
+    # (min, max) so both blocks of a pair land in the same group.
+    j = F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("j")
+    rep = emb.select("vec_id", "embedding", blk.alias("blk"), j).select(
+        "vec_id",
+        "embedding",
+        "blk",
+        F.least("blk", "j").alias("bx"),
+        F.greatest("blk", "j").alias("by"),
     )
 
-    def block_similarity(batches):
-        full_ids, full_m = bc.value
-        for batch in batches:
-            block_ids = batch["vec_id"].to_numpy()
-            B = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            B /= np.linalg.norm(B, axis=1, keepdims=True)
-            sims = B @ full_m.T
-            bi, fj = np.nonzero(sims >= NEAR_DUP_COS)
-            ia, ib = block_ids[bi], full_ids[fj]
-            keep = ia < ib
-            yield pd.DataFrame(
-                {
-                    "id_a": ia[keep],
-                    "id_b": ib[keep],
-                    "cos_sim": np.floor((sims[bi, fj][keep] + 1e-9) * 1e4 + 0.5)
-                    / 1e4,
-                }
-            )
+    def block_pair_sims(key, pdf):
+        bx, by = key
+        ids = pdf["vec_id"].to_numpy()
+        M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        if bx == by:
+            sims = M @ M.T
+            ai, bi = np.nonzero(sims >= NEAR_DUP_COS)
+            ia, ib, vals = ids[ai], ids[bi], sims[ai, bi]
+            keep = ia < ib  # symmetric matrix: take each pair once
+        else:
+            ablk = pdf["blk"].to_numpy() == bx
+            A, B = M[ablk], M[~ablk]
+            sims = A @ B.T
+            ai, bi = np.nonzero(sims >= NEAR_DUP_COS)
+            ia, ib, vals = ids[ablk][ai], ids[~ablk][bi], sims[ai, bi]
+            keep = ia != ib  # cross-block: every pair appears once
+        lo, hi = np.minimum(ia, ib)[keep], np.maximum(ia, ib)[keep]
+        return pd.DataFrame(
+            {
+                "id_a": lo,
+                "id_b": hi,
+                "cos_sim": np.floor((vals[keep] + 1e-9) * 1e4 + 0.5) / 1e4,
+            }
+        )
 
-    return emb.mapInPandas(block_similarity, schema=out_schema).orderBy(
-        "id_a", "id_b"
+    out = rep.groupBy("bx", "by").applyInPandas(
+        block_pair_sims, schema="id_a bigint, id_b bigint, cos_sim double"
     )
+    return out.orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------- C8
@@ -345,9 +355,17 @@ def vectorise_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- C15
 
-IVF_K = 16        # coarse cells (the reference's IVF nlist)
-IVF_NPROBE = 2    # cells searched per query
+IVF_K_MIN = 4     # codebook floor (tiny test corpora)
+IVF_K_MAX = 4096  # codebook ceiling (driver holds K × dim floats)
 IVF_ITERS = 2     # fixed Lloyd iterations — deterministic, no RNG
+
+
+def codebook_k(n: int) -> int:
+    """Coarse-codebook size for an n-vector corpus: ~√n (the FAISS
+    guideline for IndexIVFFlat nlist), bounded so the centroid matrix
+    stays driver-sized. A FIXED K means one cell ≈ corpus/K — a single
+    task holding 1/16th of 100 TB; √n keeps expected cell size ≈ √n."""
+    return max(IVF_K_MIN, min(IVF_K_MAX, int(n ** 0.5)))
 
 
 @register("ann_ivf")  # rows-only: approximate by design
@@ -356,16 +374,19 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (labs/deduplication/faiss_utils.py builds IndexIVFFlat with
     quantised cells), distributed.
 
-    Coarse quantiser: k-means with deterministic seeds (the K smallest
-    vec_ids) and a fixed number of Lloyd iterations; assignment is a
-    one-matmul-per-Arrow-batch pandas_udf against the broadcast
-    centroid matrix, centroid update is a posexplode + avg per (cell,
-    dim) — both shapes hold at 100 TB (centroids stay tiny; the only
-    wide shuffle is the per-cell mean).
+    Coarse quantiser: k-means over K = ~√n cells (codebook_k) with
+    deterministic seeds (the K smallest vec_ids) and a fixed number of
+    Lloyd iterations; assignment is a one-matmul-per-Arrow-batch
+    pandas_udf against the broadcast centroid matrix, centroid update
+    is a posexplode + avg per (cell, dim) — both shapes hold at 100 TB
+    (centroids stay tiny; the only wide shuffle is the per-cell mean).
 
-    Search: queries probe their IVF_NPROBE nearest cells; exact cosine
-    reranks within probed cells only. Recall vs ann_topk_bruteforce is
-    asserted in tests/test_vectors.py.
+    Search: queries probe their nprobe = max(2, K/8) nearest cells
+    (constant ~/8 fraction of the corpus as K grows); exact cosine
+    reranks within probed cells only — a plain shuffle join on cell,
+    so a degenerate giant cell is split by AQE's skew-join handling
+    (skewJoin.enabled, session.py) rather than pinning one task.
+    Recall vs ann_topk_bruteforce is asserted in tests/test_vectors.py.
     """
     import numpy as np
     import pandas as pd
@@ -378,7 +399,10 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- coarse quantiser -------------------------------------------
-    k_seeds = emb.orderBy("vec_id").limit(IVF_K)
+    n = emb.count()  # parquet row-count metadata; no data scan
+    ivf_k = codebook_k(n)
+    nprobe = max(2, ivf_k // 8)
+    k_seeds = emb.orderBy("vec_id").limit(ivf_k)
     cent = np.stack(
         [r["e"] for r in k_seeds.collect()]
     )  # K × dim; tiny, driver-held like any coarse codebook
@@ -421,7 +445,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.col("nrm").alias("qn"),
-        F.explode(assign_udf(cent, n=IVF_NPROBE)(F.col("e"))).alias("cell"),
+        F.explode(assign_udf(cent, n=nprobe)(F.col("e"))).alias("cell"),
     )
     cand = queries.join(indexed, "cell").where(
         F.col("query_id") != F.col("vec_id")

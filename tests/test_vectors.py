@@ -108,3 +108,51 @@ def test_semdedup_greedy_is_sound(spark, sf_dir):
                 assert any(
                     cos(emb[v], emb[k]) >= SEMDEDUP_TAU for k in earlier_kept
                 ), (cell, v)
+
+
+def test_semdedup_shard_guard(spark, sf_dir, monkeypatch):
+    """With a tiny cell cap, giant cells split into vec_id-hash shards;
+    greedy soundness must hold per (cell, shard) group."""
+    import numpy as np
+
+    from ojo_daps_mirror_spark.plans import llm_plans2
+    from ojo_daps_mirror_spark.sources import load_table
+
+    monkeypatch.setattr(llm_plans2, "SEMDEDUP_CELL_CAP", 8)
+    out = {
+        r["vec_id"]: r for r in llm_plans2.semdedup(spark, sf_dir).collect()
+    }
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    assert set(out) == set(emb)  # one verdict per vector, none lost
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    by_cell: dict[int, list[int]] = {}
+    for vid, r in sorted(out.items()):
+        by_cell.setdefault(r["cell"], []).append(vid)
+
+    sharded_cells = 0
+    for cell, vids in by_cell.items():
+        n_shards = -(-len(vids) // 8)
+        if n_shards > 1:
+            sharded_cells += 1
+        for shard in range(n_shards):
+            svids = [v for v in vids if v % n_shards == shard]
+            kept = [v for v in svids if out[v]["keep"]]
+            for v in svids:
+                earlier_kept = [k for k in kept if k < v]
+                if out[v]["keep"]:
+                    assert all(
+                        cos(emb[v], emb[k]) < llm_plans2.SEMDEDUP_TAU
+                        for k in earlier_kept
+                    ), (cell, shard, v)
+                else:
+                    assert any(
+                        cos(emb[v], emb[k]) >= llm_plans2.SEMDEDUP_TAU
+                        for k in earlier_kept
+                    ), (cell, shard, v)
+    assert sharded_cells >= 1  # the shard path actually ran
