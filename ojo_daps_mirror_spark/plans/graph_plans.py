@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_eps
-from ..operators.graph import pagerank
+from ..operators.graph import PAGERANK_ALPHA, PAGERANK_ITERS, pagerank
 from ..sources import load_table
 from . import register
 
@@ -58,14 +58,60 @@ def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(both.alias("e")).select("e.*")
 
 
-@register("trade_pagerank")  # rows-only: iterative fixed point, not SQL
+def _pagerank_oracle() -> str:
+    """Unrolled power iteration as chained CTEs — PAGERANK_ITERS is a
+    fixed constant, so the loop is finitely SQL-expressible. The trade
+    graph is symmetric (both edge directions exist), so every node has
+    out-edges and the dangling-mass term is identically zero."""
+    a = PAGERANK_ALPHA
+    sql = f"""
+WITH pairs AS (
+  SELECT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp,
+         CAST(COUNT(*) AS DOUBLE) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT cust AS src, supp AS dst, w FROM pairs
+  UNION ALL
+  SELECT supp AS src, cust AS dst, w FROM pairs
+),
+out_deg AS (SELECT src, SUM(w) AS wout FROM edges GROUP BY src),
+trans AS (
+  SELECT e.src, e.dst, e.w / o.wout AS p
+  FROM edges e JOIN out_deg o USING (src)
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+"""
+    for i in range(PAGERANK_ITERS):
+        sql += f"""r{i + 1} AS (
+  SELECT nodes.id,
+         (1.0 - {a!r}) / nn.n + {a!r} * COALESCE(c.c, 0) AS rank
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (SELECT t.dst AS id, SUM(t.p * r.rank) AS c
+             FROM trans t JOIN r{i} r ON t.src = r.id GROUP BY t.dst) c
+    ON c.id = nodes.id
+),
+"""
+    sql = sql.rstrip().rstrip(",")
+    sql += f"""
+SELECT id, ROUND(rank + 1e-9, 6) AS rank
+FROM r{PAGERANK_ITERS}
+ORDER BY rank DESC, id
+"""
+    return sql
+
+
+@register("trade_pagerank", oracle=_pagerank_oracle())
 def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the customer↔supplier trade graph —
     which sellers sit at the centre of purchasing flow. Fixed 10
     iterations, deterministic up to float-sum order; exactness vs a
     numpy power iteration on the same edges is asserted to 1e-9 in
-    tests/test_graph.py (the rows-only analog of an oracle).
-    """
+    tests/test_graph.py, and the same unrolled iteration is the DuckDB
+    oracle (_pagerank_oracle)."""
     ranks = pagerank(trade_edges(spark, sf_dir))
     return ranks.select(
         "id", round_eps(F.col("rank"), 6).alias("rank")
