@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 PAGERANK_ALPHA = 0.85
 PAGERANK_ITERS = 10
+LPA_ITERS = 5
 
 
 def pagerank(
@@ -108,3 +109,67 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("id", "rank")
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    iterations: int = LPA_ITERS,
+) -> DataFrame:
+    """Synchronous weighted label propagation — the distributed analog
+    of the reference's community-detection step
+    (flows/enrich/labs/skills/cluster_utils.py:23 ConsensusClustering —
+    a driver-side Leiden ensemble; here one deterministic distributed
+    pass over the same kind of co-occurrence graph).
+
+    Each node starts labelled with its own id; every round, node v
+    adopts the label with the greatest incoming weight sum over its
+    neighbours, ties broken by the smallest label. A FIXED iteration
+    count and the deterministic tie-break make the fixpoint loop
+    finitely unrollable — which is exactly what the DuckDB oracle does
+    (plans/community_plans.py), so a judge can hash-match an iterative
+    graph algorithm.
+
+    Scale shape mirrors pagerank above: the edge set is checkpointed
+    once and hash-partitioned by src; per round the ONLY wide shuffles
+    are the (dst, label) weight sum and its per-dst argmax window;
+    localCheckpoint keeps round k's plan from replaying rounds 1..k-1.
+    """
+    from pyspark.sql.window import Window
+
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    ).localCheckpoint(eager=True)
+    n_edges = e.count()
+    n_part = max(1, min((n_edges + 2_499_999) // 2_500_000, 200_000))
+    e = e.repartition(n_part, "src").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .repartition(n_part, "id")
+        .localCheckpoint(eager=True)
+    )
+
+    labels = nodes.withColumn("lbl", F.col("id"))
+    w_rank = Window.partitionBy("id").orderBy(F.desc("wsum"), F.asc("lbl"))
+    for _ in range(iterations):
+        votes = (
+            e.join(labels, e.src == labels.id)
+            .select(F.col("dst").alias("id"), "lbl", "w")
+            .groupBy("id", "lbl")
+            .agg(F.sum("w").alias("wsum"))
+        )
+        best = (
+            votes.withColumn("rn", F.row_number().over(w_rank))
+            .where(F.col("rn") == 1)
+            .select("id", F.col("lbl").alias("new_lbl"))
+        )
+        labels = (
+            nodes.join(best, "id", "left")
+            .select("id", F.coalesce("new_lbl", "id").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("id", F.col("lbl").alias("community"))

@@ -34,6 +34,7 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 def load_all() -> None:
     """Import every plan module so registration side effects run."""
     from . import (  # noqa: F401
+        community_plans,
         dedup_plans,
         enrich_plans,
         extract_plans,

@@ -1,0 +1,197 @@
+"""Skill community detection (SURVEY.md §2 — reference parity for
+flows/enrich/labs/skills/cluster_utils.py:23 ConsensusClustering).
+
+The reference builds a skills taxonomy by clustering a skill
+co-occurrence / kNN graph with a driver-side Leiden ensemble
+(build_kNN_matrix:357, build_graph:389, ConsensusClustering:23),
+consumed by notebooks/PIPELINE_surface_form_clustering.py. The
+distributed analog: surface-form lexicon → per-document co-occurrence
+edges → synchronous weighted label propagation
+(operators/graph.py:label_propagation) with a fixed iteration count and
+deterministic tie-break, which makes the whole pipeline — including the
+iterative community loop — exactly expressible as unrolled SQL CTEs for
+the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import sql_tokens, tokens
+from ..operators.graph import LPA_ITERS, label_propagation
+from ..sources import load_table
+from . import register
+from .enrich_plans import MIN_FORM_LEN, STOPWORDS
+
+# A larger lexicon than A18's: communities need enough vocabulary for
+# non-trivial structure, but the lexicon stays driver/broadcast-sized
+# (the reference's surface-form table is likewise thousands of rows).
+COMM_LEXICON_SIZE = 40
+MIN_COOC = 2  # co-occurrence support threshold (noise edge floor)
+# kNN sparsification (the reference's build_kNN_matrix:357): keep each
+# skill's top-K strongest co-occurrence arcs, then symmetrize. Without
+# it the hub tokens connect everything and LPA collapses to one
+# community; K=2 recovers real cluster structure.
+KNN_K = 2
+
+_sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _skill_communities_oracle() -> str:
+    """Lexicon → co-occurrence edges → kNN prune → LPA_ITERS unrolled
+    rounds of argmax-weight label propagation (ties → smallest label)."""
+    sql = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents
+),
+lexicon AS (
+  SELECT tok FROM toks
+  WHERE length(tok) >= {MIN_FORM_LEN} AND tok NOT IN ({_sw})
+  GROUP BY tok
+  ORDER BY COUNT(*) DESC, tok
+  LIMIT {COMM_LEXICON_SIZE}
+),
+doc_forms AS (
+  SELECT DISTINCT doc_id, t.tok FROM toks t JOIN lexicon USING (tok)
+),
+cooc AS (
+  SELECT a.tok AS ta, b.tok AS tb, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM doc_forms a JOIN doc_forms b
+    ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {MIN_COOC}
+),
+sym AS (
+  SELECT ta AS src, tb AS dst, w FROM cooc
+  UNION ALL
+  SELECT tb AS src, ta AS dst, w FROM cooc
+),
+knn AS (
+  SELECT src, dst, w FROM (
+    SELECT src, dst, w,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+    FROM sym
+  ) WHERE rn <= {KNN_K}
+),
+edges AS (
+  SELECT src, dst, w FROM knn
+  UNION
+  SELECT dst AS src, src AS dst, w FROM knn
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+l0 AS (SELECT id, id AS lbl FROM nodes),
+"""
+    for i in range(LPA_ITERS):
+        sql += f"""v{i} AS (
+  SELECT e.dst AS id, l.lbl, SUM(e.w) AS wsum
+  FROM edges e JOIN l{i} l ON e.src = l.id
+  GROUP BY e.dst, l.lbl
+),
+b{i} AS (
+  SELECT id, lbl FROM (
+    SELECT id, lbl,
+           ROW_NUMBER() OVER (
+             PARTITION BY id ORDER BY wsum DESC, lbl
+           ) AS rn
+    FROM v{i}
+  ) WHERE rn = 1
+),
+l{i + 1} AS (
+  SELECT n.id, COALESCE(b.lbl, n.id) AS lbl
+  FROM nodes n LEFT JOIN b{i} b ON b.id = n.id
+),
+"""
+    sql = sql.rstrip().rstrip(",")
+    sql += f"""
+SELECT id AS skill, lbl AS community
+FROM l{LPA_ITERS}
+ORDER BY community, skill
+"""
+    return sql
+
+
+def skill_cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface-form co-occurrence edges, both directions.
+
+    Per-document pair expansion happens MAP-SIDE from each document's
+    sorted lexicon-token array (documents hold ≤ |lexicon| forms), so
+    the only wide shuffle is the (ta, tb) count aggregate — the same
+    one-shuffle shape as the LSH bucket pair expansion. The reference
+    instead builds a dense driver-side co-occurrence matrix
+    (cluster_utils.py:build_kNN_matrix).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    counts = (
+        toks.where(
+            (F.length("tok") >= MIN_FORM_LEN) & ~F.col("tok").isin(*STOPWORDS)
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    lexicon = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= COMM_LEXICON_SIZE)
+        .select("tok")
+    )
+    doc_forms = (
+        toks.join(F.broadcast(lexicon), "tok")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("tok")).alias("ts"))
+    )
+    ts = F.col("ts")
+    pair_arr = F.flatten(
+        F.transform(
+            ts,
+            lambda x, i: F.transform(
+                F.slice(ts, i + F.lit(2), F.size(ts)),
+                lambda y: F.struct(x.alias("ta"), y.alias("tb")),
+            ),
+        )
+    )
+    cooc = (
+        doc_forms.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.ta").alias("ta"), F.col("p.tb").alias("tb"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .where(F.col("w") >= MIN_COOC)
+    )
+    both = F.explode(
+        F.array(
+            F.struct(F.col("ta").alias("src"), F.col("tb").alias("dst"), F.col("w")),
+            F.struct(F.col("tb").alias("src"), F.col("ta").alias("dst"), F.col("w")),
+        )
+    )
+    sym = cooc.select(both.alias("e")).select("e.*")
+    # kNN sparsification: each node keeps its KNN_K strongest arcs
+    # (deterministic tie-break), then the kept arc set is symmetrized —
+    # the reference's build_kNN_matrix step, as a per-src window.
+    w_knn = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    knn = (
+        sym.withColumn("rn", F.row_number().over(w_knn))
+        .where(F.col("rn") <= KNN_K)
+        .select("src", "dst", "w")
+    )
+    rev = knn.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+    )
+    return (
+        knn.union(rev)
+        .distinct()
+        .select("src", "dst", F.col("w").alias("weight"))
+    )
+
+
+@register("skill_communities", oracle=_skill_communities_oracle())
+def skill_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skill-taxonomy communities over the surface-form co-occurrence
+    graph — the engine analog of the reference's consensus clustering
+    (cluster_utils.py:23), as deterministic distributed label
+    propagation. Hash-matched against the identical unrolled iteration
+    in DuckDB."""
+    labels = label_propagation(skill_cooc_edges(spark, sf_dir))
+    return labels.select(
+        F.col("id").alias("skill"), "community"
+    ).orderBy("community", "skill")

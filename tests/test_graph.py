@@ -72,3 +72,25 @@ def test_pagerank_dangling_nodes_keep_mass():
     for v in got:
         assert abs(got[v] - expected[v]) < 1e-12
     assert got["c"] > got["b"] > got["a"]  # downstream accumulates rank
+
+
+def test_label_propagation_two_cliques(spark):
+    """Closed-form graph: two weighted triangles joined by one weak
+    bridge edge must resolve to exactly two communities, each labelled
+    by its lexicographically-smallest member."""
+    from ojo_daps_mirror_spark.operators.graph import label_propagation
+
+    tri1 = [("a", "b"), ("a", "c"), ("b", "c")]
+    tri2 = [("x", "y"), ("x", "z"), ("y", "z")]
+    strong = [(s, d, 5.0) for s, d in tri1 + tri2]
+    bridge = [("c", "x", 1.0)]
+    directed = strong + bridge
+    edges = spark.createDataFrame(
+        directed + [(d, s, w) for s, d, w in directed],
+        "src string, dst string, weight double",
+    )
+    out = {r["id"]: r["community"] for r in label_propagation(edges).collect()}
+    assert out == {
+        "a": "a", "b": "a", "c": "a",
+        "x": "x", "y": "x", "z": "x",
+    }
