@@ -25,6 +25,8 @@ same corpus-fits-one-window assumption the reference's FAISS step makes.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -557,3 +559,80 @@ def near_dup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(round_eps(F.max("score"), 4).alias("rel_score"))
         .orderBy("query_id", "neighbor_id")
     )
+
+
+# ---------------------------------------------------------------- A35
+
+# Reference labs/soc/common.py:91 clean_raw_job_title: three rounds of
+# standardise + term removal (job_stopwords / locations /
+# acronyms_lookup — S3-hosted lists, stood in for deterministically
+# like every external artifact), then prefix stripping
+# (metadata.yaml:ignore_prefixes — that list IS the spec), then a final
+# standardise. standardise_text = keep \w+ runs, drop digits, lower,
+# strip, collapse spaces (common.py:47-63).
+TITLE_STOPWORDS = ["urgent", "immediate start", "full time", "part time"]
+TITLE_LOCATIONS = ["london", "manchester", "leeds"]
+TITLE_ACRONYMS = {"mgr": "manager", "engnr": "engineer"}
+TITLE_PREFIXES = [
+    "apprentice", "assistant", "chief", "departmental",
+    "deputy", "head", "principal", "senior",
+]
+TITLE_LEN = 80  # pseudo-title: leading slice of the document text
+
+
+def _clean_title_spark(col):
+    def std(c):
+        c = F.regexp_replace(c, "[^A-Za-z0-9_]+", " ")   # replace_punctuation
+        c = F.regexp_replace(c, "[0-9]", "")             # remove_digits
+        c = F.lower(F.trim(c))                           # strip().lower()
+        return F.regexp_replace(c, " +", " ")            # RE_SPACES
+    for terms in (TITLE_STOPWORDS, TITLE_LOCATIONS, TITLE_ACRONYMS):
+        col = std(col)
+        repl = terms if isinstance(terms, dict) else {t: "" for t in terms}
+        for word, sub in repl.items():
+            col = F.regexp_replace(col, re.escape(word), sub)
+    col = std(col)
+    for p in TITLE_PREFIXES:  # sequential, list order (common.py:141)
+        col = F.regexp_replace(col, f"^{p}( |$)", "")
+    return std(col)
+
+
+def _clean_title_sql(expr: str) -> str:
+    def std(e):
+        e = f"regexp_replace({e}, '[^A-Za-z0-9_]+', ' ', 'g')"
+        e = f"regexp_replace({e}, '[0-9]', '', 'g')"
+        e = f"lower(trim({e}))"
+        return f"regexp_replace({e}, ' +', ' ', 'g')"
+    for terms in (TITLE_STOPWORDS, TITLE_LOCATIONS, TITLE_ACRONYMS):
+        expr = std(expr)
+        repl = terms if isinstance(terms, dict) else {t: "" for t in terms}
+        for word, sub in repl.items():
+            expr = f"replace({expr}, '{word}', '{sub}')"
+    expr = std(expr)
+    for p in TITLE_PREFIXES:
+        expr = f"regexp_replace({expr}, '^{p}( |$)', '')"
+    return std(expr)
+
+
+_A35_ORACLE = f"""
+SELECT doc_id,
+       {_clean_title_sql(f'substr(text, 1, {TITLE_LEN})')} AS clean_title
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("soc_clean_title", oracle=_A35_ORACLE)
+def soc_clean_title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SOC title-cleaning preprocessing chain
+    (labs/soc/common.py:91 clean_raw_job_title) the substring matcher
+    (A17) consumes — digit strip, punctuation normalise, term removal,
+    prefix removal. Pure codegen string expressions: zero shuffles,
+    zero Python, map-only at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        _clean_title_spark(
+            F.substring(F.col("text"), 1, TITLE_LEN)
+        ).alias("clean_title"),
+    ).orderBy("doc_id")
