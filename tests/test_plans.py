@@ -212,3 +212,30 @@ def test_funnel_frontiers_are_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "funnel_conversion")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_soc_clean_title_is_codegen_map_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "soc_clean_title")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # map-only up to the output sort: exactly zero joins/aggregates
+    assert "Join" not in plan and "HashAggregate" not in plan
+
+
+def test_near_dup_adaptive_single_window_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "near_dup_adaptive")
+    # per-window pandas pass + final max agg; window dim is broadcast
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_skill_cooc_lexicon_is_broadcast(spark, sf_dir):
+    from ojo_daps_mirror_spark.plans.community_plans import skill_cooc_edges
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        skill_cooc_edges(spark, sf_dir).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan          # lexicon attach
+    assert "BatchEvalPython" not in plan        # pair expansion map-side
