@@ -61,6 +61,11 @@ BENCH_KEYS: list[str] = [
     "scd2_user_state",
     "near_dup_adaptive",
     "soc_clean_title",
+    "priority_late_orders",
+    "nation_trade_flows",
+    "returned_top_customers",
+    "promo_revenue_monthly",
+    "supplier_part_variety",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

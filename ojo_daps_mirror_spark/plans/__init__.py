@@ -48,6 +48,7 @@ def load_all() -> None:
         olap,
         olap_breadth,
         olap_breadth2,
+        olap_breadth3,
         text_plans,
         vector_plans,
     )
