@@ -239,3 +239,37 @@ def test_skill_cooc_lexicon_is_broadcast(spark, sf_dir):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan          # lexicon attach
     assert "BatchEvalPython" not in plan        # pair expansion map-side
+
+
+def test_priority_late_orders_semi_join_no_widen(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "priority_late_orders")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_returned_top_customers_topk_no_full_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "returned_top_customers")
+    # global top-k must be a TakeOrderedAndProject, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    # returnflag filter reaches the scan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_promo_revenue_broadcasts_part_prunes_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "promo_revenue_monthly")
+    assert "BroadcastHashJoin" in plan
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "p_type" in ln]
+    assert scan and "p_retailprice" not in scan[0] and "p_name" not in scan[0]
+
+
+def test_trade_flows_single_big_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "nation_trade_flows")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # both dims broadcast
+
+
+def test_min_acctbal_supplier_filters_dim_first(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "min_acctbal_supplier")
+    # the size predicate must prune the part dim at its scan
+    assert "EqualTo(p_size,10)" in plan
+    assert "BroadcastHashJoin" in plan
