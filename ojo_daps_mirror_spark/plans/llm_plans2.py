@@ -267,3 +267,87 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_greedy, out_schema)
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------- C27
+
+SURPRISAL_MAX = 3.45  # ~p90 of the corpus surprisal distribution
+
+
+def _c27_oracle() -> str:
+    from .llm_plans import _C17_ORACLE
+    from .text_plans import _C3_ORACLE
+
+    return f"""
+WITH g AS (SELECT * FROM ({_C17_ORACLE})),
+l AS (SELECT * FROM ({_C3_ORACLE})),
+s AS (SELECT * FROM ({_C23_ORACLE}))
+SELECT g.doc_id,
+       CASE
+         WHEN g.n_tokens < {MIN_DOC_TOKENS_C27} THEN 'too_short'
+         WHEN g.top_token_frac > {TOP_FRAC_C27}
+           OR g.dup_token_frac > {DUP_FRAC_C27} THEN 'repetitive'
+         WHEN l.pred_lang <> 'en' THEN 'non_english'
+         WHEN s.surprisal > {SURPRISAL_MAX} THEN 'high_surprisal'
+         ELSE 'keep'
+       END AS verdict,
+       CASE
+         WHEN g.n_tokens >= {MIN_DOC_TOKENS_C27}
+          AND g.top_token_frac <= {TOP_FRAC_C27}
+          AND g.dup_token_frac <= {DUP_FRAC_C27}
+          AND l.pred_lang = 'en'
+          AND s.surprisal <= {SURPRISAL_MAX} THEN 1 ELSE 0
+       END AS keep
+FROM g JOIN l ON l.doc_id = g.doc_id JOIN s ON s.doc_id = g.doc_id
+ORDER BY g.doc_id
+"""
+
+
+# Mirror the gopher constants under local names so the oracle f-string
+# stays readable (values must match llm_plans.py exactly).
+from .llm_plans import (  # noqa: E402
+    DUP_TOKEN_FRAC_MAX as DUP_FRAC_C27,
+    MIN_DOC_TOKENS as MIN_DOC_TOKENS_C27,
+    TOP_TOKEN_FRAC_MAX as TOP_FRAC_C27,
+)
+
+
+@register("corpus_filter_pipeline", oracle=_c27_oracle())
+def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pre-training corpus gate: Gopher repetition +
+    language-ID + corpus-LM surprisal in one verdict per document with
+    the FIRST failing reason (the shape of RefinedWeb/FineWeb's filter
+    cascade, where each doc carries its drop reason for auditing).
+
+    Scale shape: all three signal frames are doc-grain aggregates of
+    the same documents scan; the composition joins them on doc_id —
+    co-partitioned narrow frames, trivially smaller than the token-
+    grain shuffles that produced them. Thresholds compare the ROUNDED
+    output columns so the cross-engine boundary behaviour is identical
+    by construction.
+    """
+    from .llm_plans import quality_gopher
+    from .text_plans import lang_id
+
+    g = quality_gopher(spark, sf_dir).select(
+        "doc_id", "n_tokens", "top_token_frac", "dup_token_frac"
+    )
+    l = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    s = bigram_lm_score(spark, sf_dir).select("doc_id", "surprisal")
+    j = g.join(l, "doc_id").join(s, "doc_id")
+    verdict = (
+        F.when(F.col("n_tokens") < MIN_DOC_TOKENS_C27, "too_short")
+        .when(
+            (F.col("top_token_frac") > TOP_FRAC_C27)
+            | (F.col("dup_token_frac") > DUP_FRAC_C27),
+            "repetitive",
+        )
+        .when(F.col("pred_lang") != "en", "non_english")
+        .when(F.col("surprisal") > SURPRISAL_MAX, "high_surprisal")
+        .otherwise("keep")
+    )
+    return j.select(
+        "doc_id",
+        verdict.alias("verdict"),
+        (verdict == "keep").cast("int").alias("keep"),
+    ).orderBy("doc_id")
