@@ -66,6 +66,7 @@ BENCH_KEYS: list[str] = [
     "returned_top_customers",
     "promo_revenue_monthly",
     "supplier_part_variety",
+    "corpus_filter_pipeline",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

@@ -76,3 +76,30 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_completion(counts, spark).orderBy("window_start", "event_type")
+
+
+def stream_to_partitioned_parquet(
+    spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Stream events into a date-partitioned parquet lake with exactly-
+    once file-sink semantics (checkpointed offsets + transactional file
+    commits) — the reference's daily batch-append
+    (flows/collect → S3 landing) as a continuous ingest.
+
+    The sink partitions by event_date so downstream batch queries get
+    partition pruning over ingest output; availableNow drains the
+    backlog and stops, which is also the production catch-up pattern.
+    Returns the re-read batch DataFrame for verification.
+    """
+    stream = events_stream(spark, sf_dir)
+    enriched = stream.withColumn("event_date", F.to_date("ts"))
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("event_date")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

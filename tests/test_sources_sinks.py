@@ -128,3 +128,34 @@ def test_parquet_zstd_codec_round_trip(spark, sf_dir):
 
     files = glob.glob(f"{path}/*.zstd.parquet") + glob.glob(f"{path}/*zstd*")
     assert files, os.listdir(path)
+
+
+def test_streaming_partitioned_parquet_sink(spark, sf_dir, tmp_path):
+    """Stream → date-partitioned parquet: row parity with the batch
+    table, partition directories on disk, and pruning in the plan."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from ojo_daps_mirror_spark.sources import load_table
+    from ojo_daps_mirror_spark.streaming.stock import (
+        stream_to_partitioned_parquet,
+    )
+
+    out = str(tmp_path / "lake")
+    ck = str(tmp_path / "ck")
+    got = stream_to_partitioned_parquet(spark, sf_dir, out, ck)
+    batch = load_table(spark, sf_dir, "events")
+    assert got.count() == batch.count()
+    # partition dirs exist on disk
+    import os
+
+    assert any(d.startswith("event_date=") for d in os.listdir(out))
+    # a date predicate prunes partitions at the scan
+    one_date = got.select(F.min("event_date")).first()[0]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.where(F.col("event_date") == F.lit(one_date)).explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "event_date" in plan
