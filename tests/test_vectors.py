@@ -181,3 +181,39 @@ def test_pq_encode_soundness(spark, sf_dir):
     base = np.sqrt(((X - X.mean(0)) ** 2).sum(1)).mean()  # 1-centroid baseline
     mean_err = np.mean([r["recon_error"] for r in out.values()])
     assert mean_err < base, (mean_err, base)
+
+
+def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
+    """ADC top-k over 4-bit PQ codes must clearly beat chance against
+    the exact L2 top-k on the same query subset."""
+    import numpy as np
+
+    from ojo_daps_mirror_spark.plans.vector_plans import ANN_K, QUERY_MOD
+    from ojo_daps_mirror_spark.sources import load_table
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    ids = np.array(sorted(emb))
+    X = np.stack([emb[v] for v in ids])
+    exact_sets = {}
+    for q in ids[ids % QUERY_MOD == 0]:
+        d = ((X - emb[q]) ** 2).sum(1)
+        order = np.lexsort((ids, d))
+        nn = [ids[i] for i in order if ids[i] != q][:ANN_K]
+        exact_sets[q] = set(nn)
+
+    approx_sets = {}
+    for r in plans.QUERIES["ann_pq_adc"](spark, sf_dir).collect():
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(approx_sets) == set(exact_sets)
+    recalls = [
+        len(exact_sets[q] & approx_sets[q]) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # 4-bit codes on near-orthogonal randoms are PQ's worst case even
+    # with the exact refine stage; the bar is "clearly better than
+    # chance" (ANN_K/n ≈ 2%; measured ≈ 0.56 at sf0.001)
+    assert mean_recall >= 0.4, f"mean recall {mean_recall:.2f}"
