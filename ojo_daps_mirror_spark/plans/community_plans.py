@@ -76,9 +76,15 @@ knn AS (
   ) WHERE rn <= {KNN_K}
 ),
 edges AS (
-  SELECT src, dst, w FROM knn
-  UNION
-  SELECT dst AS src, src AS dst, w FROM knn
+  -- DISTINCT-over-UNION-ALL, not bare UNION: inside a WITH RECURSIVE
+  -- block DuckDB parses a top-level UNION CTE as a recursive union and
+  -- skips cross-branch dedup (verified: WITH RECURSIVE t AS (SELECT 1
+  -- UNION SELECT 1) yields 2 rows), which the consensus oracle hits.
+  SELECT DISTINCT src, dst, w FROM (
+    SELECT src, dst, w FROM knn
+    UNION ALL
+    SELECT dst AS src, src AS dst, w FROM knn
+  )
 ),
 nodes AS (SELECT DISTINCT src AS id FROM edges),
 l0 AS (SELECT id, id AS lbl FROM nodes),
@@ -194,4 +200,131 @@ def skill_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = label_propagation(skill_cooc_edges(spark, sf_dir))
     return labels.select(
         F.col("id").alias("skill"), "community"
+    ).orderBy("community", "skill")
+
+
+# ---------------------------------------------------------------- A36
+
+# Ensemble salts — each is one deterministic LPA member whose argmax
+# ties break by md5(salt || label), the distributed stand-in for the
+# reference's Leiden ensemble members (cluster_utils.py:23 runs N
+# clusterings then keeps the consensus partition).
+CONSENSUS_SALTS = ("e0", "e1", "e2")
+CONSENSUS_MIN_AGREE = 2  # pair co-clustered in ≥ 2 of 3 runs
+
+
+def _lpa_run_sql(salt: str, suffix: str) -> str:
+    """One unrolled LPA run over the shared `edges`/`nodes` CTEs with a
+    salted tie-break; emits l{LPA_ITERS}{suffix}(id, lbl)."""
+    sql = f"l0{suffix} AS (SELECT id, id AS lbl FROM nodes),\n"
+    for i in range(LPA_ITERS):
+        sql += f"""v{i}{suffix} AS (
+  SELECT e.dst AS id, l.lbl, SUM(e.w) AS wsum
+  FROM edges e JOIN l{i}{suffix} l ON e.src = l.id
+  GROUP BY e.dst, l.lbl
+),
+b{i}{suffix} AS (
+  SELECT id, lbl FROM (
+    SELECT id, lbl,
+           ROW_NUMBER() OVER (
+             PARTITION BY id ORDER BY wsum DESC, md5('{salt}' || lbl)
+           ) AS rn
+    FROM v{i}{suffix}
+  ) WHERE rn = 1
+),
+l{i + 1}{suffix} AS (
+  SELECT n.id, COALESCE(b.lbl, n.id) AS lbl
+  FROM nodes n LEFT JOIN b{i}{suffix} b ON b.id = n.id
+),
+"""
+    return sql
+
+
+def _consensus_oracle() -> str:
+    """Three salted LPA runs → co-assignment pairs → ≥2-vote consensus
+    edges → transitive closure (recursive CTE) → min-id communities."""
+    head = _skill_communities_oracle().split("l0 AS")[0]  # shared graph CTEs
+    head = head.replace("WITH toks AS", "WITH RECURSIVE toks AS", 1)
+    runs = "".join(
+        _lpa_run_sql(salt, f"_{k}") for k, salt in enumerate(CONSENSUS_SALTS)
+    )
+    pair_sel = "\nUNION ALL\n".join(
+        f"""SELECT a.id AS i, b.id AS j
+  FROM l{LPA_ITERS}_{k} a JOIN l{LPA_ITERS}_{k} b
+    ON a.lbl = b.lbl AND a.id < b.id"""
+        for k in range(len(CONSENSUS_SALTS))
+    )
+    return f"""{head}{runs}
+co AS ({pair_sel}),
+consensus AS (
+  SELECT i, j FROM co GROUP BY i, j
+  HAVING COUNT(*) >= {CONSENSUS_MIN_AGREE}
+),
+ce AS (
+  SELECT i AS x, j AS y FROM consensus
+  UNION ALL
+  SELECT j AS x, i AS y FROM consensus
+),
+reach AS (
+  SELECT id AS v, id AS w FROM nodes
+  UNION
+  SELECT r.v, e.y FROM reach r JOIN ce e ON r.w = e.x
+)
+SELECT v AS skill, MIN(w) AS community
+FROM reach GROUP BY v ORDER BY community, skill
+"""
+
+
+@register("skill_communities_consensus", oracle=_consensus_oracle())
+def skill_communities_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consensus clustering over an LPA ensemble — the reference's
+    actual taxonomy-build shape (cluster_utils.py:23
+    ConsensusClustering: run N clusterings, keep pairs the majority
+    agrees on, take components of the consensus graph).
+
+    Scale shape: the co-occurrence edge set is built ONCE and
+    checkpointed inside each LPA call; co-assignment pairs expand
+    map-side from per-community sorted member lists (communities are
+    lexicon-bounded); the ≥2-vote consensus is one narrow (i, j)
+    count; final components reuse the dedup CC loop. Every stage is
+    deterministic, so the whole ensemble hash-matches its unrolled SQL.
+    """
+    from ..operators.dedup import connected_components
+
+    edges = skill_cooc_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    co = None
+    for salt in CONSENSUS_SALTS:
+        labels = label_propagation(edges, salt=salt)
+        grouped = labels.groupBy("community").agg(
+            F.array_sort(F.collect_set("id")).alias("ms")
+        )
+        ms = F.col("ms")
+        pair_arr = F.flatten(
+            F.transform(
+                ms,
+                lambda x, i: F.transform(
+                    F.slice(ms, i + F.lit(2), F.size(ms)),
+                    lambda y: F.struct(x.alias("i"), y.alias("j")),
+                ),
+            )
+        )
+        pairs = grouped.select(F.explode(pair_arr).alias("p")).select(
+            F.col("p.i").alias("i"), F.col("p.j").alias("j")
+        )
+        co = pairs if co is None else co.unionAll(pairs)
+
+    consensus = (
+        co.groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .where(F.col("votes") >= CONSENSUS_MIN_AGREE)
+        .select(F.col("i").alias("first_id"), F.col("j").alias("second_id"))
+    )
+    comps = connected_components(consensus, nodes, id_col="id")
+    return comps.select(
+        F.col("id").alias("skill"), F.col("component_id").alias("community")
     ).orderBy("community", "skill")
