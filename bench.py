@@ -67,6 +67,8 @@ BENCH_KEYS: list[str] = [
     "promo_revenue_monthly",
     "supplier_part_variety",
     "corpus_filter_pipeline",
+    "pq_encode",
+    "ann_pq_adc",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

@@ -487,7 +487,6 @@ def _pq_train(spark: SparkSession, emb: DataFrame) -> tuple:
     """
     import numpy as np
     import pandas as pd
-    from pyspark.sql.pandas.functions import pandas_udf
 
     dim = len(emb.select("e").first()["e"])
     sub = dim // PQ_M
@@ -499,37 +498,51 @@ def _pq_train(spark: SparkSession, emb: DataFrame) -> tuple:
         [seeds[:, m * sub : (m + 1) * sub].copy() for m in range(PQ_M)]
     )  # M × K × sub
 
-    def encode_udf(codebooks):
-        def _enc(e):
-            X = np.stack(e.to_numpy()).astype(np.float64)
-            codes = np.empty((len(X), PQ_M), dtype=np.int32)
-            for m in range(PQ_M):
-                S = X[:, m * sub : (m + 1) * sub]
-                C = codebooks[m]
-                d2 = (
-                    (S * S).sum(1)[:, None]
-                    - 2.0 * S @ C.T
-                    + (C * C).sum(1)[None, :]
-                )
-                codes[:, m] = np.argmin(d2, axis=1)
-            return pd.Series(list(codes))
-
-        _enc.__annotations__ = {"e": pd.Series, "return": pd.Series}
-        return pandas_udf(_enc, "array<int>")
-
+    # One Lloyd pass = ONE mapInPandas over the vectors emitting
+    # per-batch partial sums (M·K·sub rows per batch) + a tiny final
+    # agg — assign and update fused, so nothing row-exploded ever
+    # shuffles (the posexplode formulation this replaced pushed
+    # n·M·sub rows through the update shuffle; measured 4.2 → ~1.5 s
+    # at sf0.1).
     for _ in range(PQ_ITERS):
-        coded = emb.select("vec_id", "e", encode_udf(books)(F.col("e")).alias("c"))
+        cb_bc = spark.sparkContext.broadcast(books)
+
+        def partial_sums(batches):
+            cb = cb_bc.value
+            sums = np.zeros((PQ_M, PQ_K, sub))
+            cnts = np.zeros((PQ_M, PQ_K), dtype=np.int64)
+            for batch in batches:
+                X = np.stack(batch["e"].to_numpy()).astype(np.float64)
+                for m in range(PQ_M):
+                    S = X[:, m * sub : (m + 1) * sub]
+                    C = cb[m]
+                    d2 = (
+                        (S * S).sum(1)[:, None]
+                        - 2.0 * S @ C.T
+                        + (C * C).sum(1)[None, :]
+                    )
+                    code = np.argmin(d2, axis=1)
+                    np.add.at(sums[m], code, S)
+                    np.add.at(cnts[m], code, 1)
+            m_ix, k_ix = np.nonzero(cnts)
+            yield pd.DataFrame(
+                {
+                    "m": np.repeat(m_ix, sub),
+                    "code": np.repeat(k_ix, sub),
+                    "d": np.tile(np.arange(sub), len(m_ix)),
+                    "s": sums[m_ix, k_ix].ravel(),
+                    "n": np.repeat(cnts[m_ix, k_ix], sub),
+                }
+            )
+
         upd = (
-            coded.select(F.posexplode("c").alias("m", "code"), "e")
-            .select(
-                "m",
-                "code",
-                F.posexplode(
-                    F.slice(F.col("e"), F.col("m") * sub + 1, sub)
-                ).alias("d", "v"),
+            emb.select("e")
+            .mapInPandas(
+                partial_sums,
+                schema="m int, code int, d int, s double, n bigint",
             )
             .groupBy("m", "code", "d")
-            .agg(F.avg("v").alias("mv"))
+            .agg((F.sum("s") / F.sum("n")).alias("mv"))
             .collect()
         )
         for r in upd:
