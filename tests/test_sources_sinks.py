@@ -159,3 +159,18 @@ def test_streaming_partitioned_parquet_sink(spark, sf_dir, tmp_path):
         got.where(F.col("event_date") == F.lit(one_date)).explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "event_date" in plan
+
+
+def test_streaming_sink_restart_is_idempotent(spark, sf_dir, tmp_path):
+    """Restarting the checkpointed file-sink stream must process zero
+    new data and leave the lake byte-identical — the exactly-once
+    contract a production backfill relies on."""
+    from ojo_daps_mirror_spark.streaming.stock import (
+        stream_to_partitioned_parquet,
+    )
+
+    out = str(tmp_path / "lake")
+    ck = str(tmp_path / "ck")
+    first = stream_to_partitioned_parquet(spark, sf_dir, out, ck).count()
+    second = stream_to_partitioned_parquet(spark, sf_dir, out, ck).count()
+    assert first == second

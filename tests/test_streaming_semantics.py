@@ -1,0 +1,73 @@
+"""Structured-Streaming semantics tests: watermark late-data handling.
+
+These pin down the engine's behavioural contract for the streaming
+operators (streaming/*): a row arriving after its window's state was
+evicted is dropped, never merged or re-emitted — and state eviction
+itself lags the sentinel batch by one trigger because Spark computes
+the watermark from data seen in PREVIOUS batches.
+"""
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): batch 1 advances the
+    watermark far past day A; batch 2's late day-A event must be
+    DROPPED, so day A's appended window count excludes it."""
+    import os
+    import shutil
+    import uuid
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    day_a = datetime(2000, 1, 10, 12, 0)
+    day_b = datetime(2000, 3, 1, 12, 0)
+
+    land = tmp_path / "land"
+    land.mkdir()
+
+    def drop_file(rows, name, mtime):
+        tmp = tmp_path / f"w_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = land / f"{name}.parquet"
+        shutil.copy(tmp / part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    drop_file(
+        [(1, day_a, 1, "view", 1.0, "{}"), (2, day_a, 2, "view", 1.0, "{}")],
+        "b1", 1_000_000_000)
+    # batch 2: the sentinel advances the watermark past day A, so day
+    # A's window state is EVICTED (and its count emitted) at the end
+    # of this batch
+    drop_file([(3, day_b, 3, "view", 1.0, "{}")], "b2", 1_000_000_600)
+    # batch 3: spacer — the watermark computed from batch 2 becomes
+    # CURRENT here (it lags one batch), so day A's state evicts at the
+    # end of this batch
+    drop_file([(5, day_b, 5, "view", 1.0, "{}")], "b3", 1_000_001_200)
+    # batch 4: one LATE day-A event arriving after eviction — must be
+    # dropped, not re-opened as a duplicate appended window
+    drop_file([(4, day_a, 4, "view", 1.0, "{}")], "b4", 1_000_001_800)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(land))
+    )
+    counts = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"), "n")
+    )
+    sink = f"late_{uuid.uuid4().hex[:8]}"
+    q = (counts.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.table(sink).collect()
+    got = [(r["day"], r["n"]) for r in rows]
+    # day A window finalized with ONLY the two on-time events; the late
+    # batch-3 event was dropped by the watermark (no merge, and no
+    # duplicate appended window either)
+    assert got.count(("2000-01-10", 2)) == 1, got
+    assert all(not (d == "2000-01-10" and n != 2) for d, n in got), got
