@@ -273,3 +273,22 @@ def test_min_acctbal_supplier_filters_dim_first(spark, sf_dir):
     # the size predicate must prune the part dim at its scan
     assert "EqualTo(p_size,10)" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_near_dup_cosine_distributed_block_pairs(spark, sf_dir):
+    # the exact all-pairs path must be the block-pair applyInPandas
+    # design: grouped pandas tasks, and NO driver-side corpus collect
+    # (nothing to assert for collect in a plan — but the explode that
+    # replicates vectors to block-pairs and the grouped-map node both
+    # must be present)
+    plan = _plan(spark, sf_dir, "near_dup_cosine")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "explode(" in plan
+
+
+def test_semdedup_shard_guard_in_plan(spark, sf_dir):
+    # giant-cell shard guard: cell sizes attach via broadcast join and
+    # the greedy pass groups on (cell, shard)
+    plan = _plan(spark, sf_dir, "semdedup")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastHashJoin" in plan
