@@ -341,3 +341,40 @@ def soc_hash_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("soc_id")
     )
+
+
+@register("weekly_salary_spread_approx")  # rows-only: sketch-based by design
+def weekly_salary_spread_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for A4: same weekly quartiles via
+    approx_percentile (KLL-style sketch — single pass, mergeable
+    partials, no per-group sort buffer). At cluster scale the exact
+    percentile's sort-based aggregation buffers every group's values;
+    the sketch keeps map-side state O(log n) per group and merges.
+    Tolerance vs the exact A4 quartiles is asserted in
+    tests/test_properties.py.
+    """
+    events = load_table(spark, sf_dir, "events")
+    sal = annualise(events).withColumn(
+        "week", F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+    )
+    qs = F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+    acc = F.lit(10_000)
+    agg = sal.groupBy("week").agg(
+        F.approx_percentile(F.col("min_annualised_salary"), qs, acc).alias("min_q"),
+        F.approx_percentile(F.col("max_annualised_salary"), qs, acc).alias("max_q"),
+        F.count(F.lit(1)).alias("n_salaries"),
+    )
+
+    def q(arr: str, idx: int, alias: str):
+        return round_eps(F.col(arr)[idx] / 1000.0, 4).alias(alias)
+
+    return agg.select(
+        "week",
+        q("min_q", 0, "min_lower_q"),
+        q("min_q", 1, "min_median"),
+        q("min_q", 2, "min_upper_q"),
+        q("max_q", 0, "max_lower_q"),
+        q("max_q", 1, "max_median"),
+        q("max_q", 2, "max_upper_q"),
+        "n_salaries",
+    ).orderBy("week")

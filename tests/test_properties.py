@@ -150,3 +150,43 @@ def test_salary_annualisation_invariants(spark, values):
             assert lo <= hi + 1e-9
             assert hi >= MIN_SALARY - 1e-9
             assert hi <= MAX_SALARY + 1e-9
+
+
+def test_weekly_salary_spread_approx_tolerance(spark, sf_dir):
+    """approx_percentile is nearest-rank: on tiny weekly groups it can
+    sit a whole element away from the interpolated exact quartile, so
+    the correct property is rank-based — every reported approx quartile
+    must be an OBSERVED value of its week whose rank is within ±1 of
+    the target rank."""
+    from pyspark.sql import functions as F
+
+    from ojo_daps_mirror_spark import plans
+    from ojo_daps_mirror_spark.functions.salaries import annualise
+    from ojo_daps_mirror_spark.sources import load_table
+
+    plans.load_all()
+
+    approx = {r["week"]: r for r in plans.QUERIES["weekly_salary_spread_approx"](spark, sf_dir).collect()}
+    sal = annualise(load_table(spark, sf_dir, "events")).withColumn(
+        "week", F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+    )
+    by_week: dict[str, dict[str, list[float]]] = {}
+    for r in sal.collect():
+        wk = by_week.setdefault(r["week"], {"min": [], "max": []})
+        wk["min"].append(r["min_annualised_salary"])
+        wk["max"].append(r["max_annualised_salary"])
+    assert set(approx) == set(by_week)
+    checks = [("min_lower_q", "min", 0.25), ("min_median", "min", 0.5),
+              ("min_upper_q", "min", 0.75), ("max_lower_q", "max", 0.25),
+              ("max_median", "max", 0.5), ("max_upper_q", "max", 0.75)]
+    for week, row in approx.items():
+        assert row["n_salaries"] == len(by_week[week]["min"])
+        for col, side, qq in checks:
+            vals = sorted(by_week[week][side])
+            n = len(vals)
+            got = row[col] * 1000.0
+            ranks = [k for k, v in enumerate(vals) if abs(v - got) < 0.51]
+            assert ranks, (week, col, got)
+            target = qq * (n - 1)
+            assert any(abs(k - target) <= 1.0 for k in ranks), (
+                week, col, got, target, ranks, n)
