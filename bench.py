@@ -68,6 +68,7 @@ BENCH_KEYS: list[str] = [
     "supplier_part_variety",
     "corpus_filter_pipeline",
     "pq_encode",
+    "vocab_encode",
     "ann_pq_adc",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local

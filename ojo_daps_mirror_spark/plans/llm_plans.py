@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps
 from ..functions.text import shingles, sql_shingles, sql_tokens, tokens
@@ -246,3 +247,81 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("props", _NUM_PAT, "<NUM>").alias("scrubbed"),
         F.regexp_count("props", F.lit(_NUM_PAT)).alias("n_redactions"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------- C30
+
+ENCODE_PREVIEW = 32  # ids serialised per doc (hash-stable CSV preview)
+
+_C30_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {sql_tokens("text")} AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, i, t[i] AS tok
+  FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+),
+vocab AS (
+  SELECT tok,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) - 1 AS tid
+  FROM pos GROUP BY tok
+)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       string_agg(v.tid::VARCHAR, ',' ORDER BY p.i)
+         FILTER (WHERE p.i <= {ENCODE_PREVIEW}) AS ids_csv
+FROM pos p JOIN vocab v USING (tok)
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+"""
+
+
+@register("vocab_encode", oracle=_C30_ORACLE)
+def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build + document id-encoding — the
+    tokenise-to-ids stage in front of any training batcher: token id =
+    frequency rank (deterministic ties by token), every document
+    re-emitted as its id sequence.
+
+    Scale shape: the vocab is a (token, rank) frame — the global rank
+    window is a single-partition sort over the DISTINCT vocabulary
+    (bounded by language, not corpus; the same driver-sized assumption
+    every tokeniser-training step makes), then broadcast onto the
+    posexploded token stream; re-assembly is ONE groupBy(doc_id) with
+    a sorted collect over (pos, id) structs. The serialised output is
+    a CSV preview of the first ENCODE_PREVIEW ids so the cross-engine
+    value-hash compares strings, not array formatting.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("i", "tok")
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    vocab = (
+        pos.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("tid", F.row_number().over(w) - 1)
+        .select("tok", "tid")
+    )
+    enc = (
+        pos.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("i") < ENCODE_PREVIEW,
+                        F.struct("i", "tid"),
+                    )
+                )
+            ).alias("head"),
+        )
+    )
+    ids_csv = F.array_join(
+        F.transform(F.col("head"), lambda s: s.getField("tid").cast("string")),
+        ",",
+    )
+    return enc.select(
+        "doc_id", "n_tokens", ids_csv.alias("ids_csv")
+    ).orderBy("doc_id")
