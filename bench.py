@@ -70,6 +70,11 @@ BENCH_KEYS: list[str] = [
     "pq_encode",
     "vocab_encode",
     "ann_pq_adc",
+    "band_filtered_revenue",
+    "part_profit_by_nation",
+    "customer_order_histogram",
+    "disjunctive_brand_revenue",
+    "sole_late_supplier",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

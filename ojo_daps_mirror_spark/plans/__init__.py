@@ -49,6 +49,7 @@ def load_all() -> None:
         olap_breadth,
         olap_breadth2,
         olap_breadth3,
+        olap_breadth4,
         text_plans,
         vector_plans,
     )

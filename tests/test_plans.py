@@ -292,3 +292,90 @@ def test_semdedup_shard_guard_in_plan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "semdedup")
     assert "FlatMapGroupsInPandas" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def _scan_count(plan: str, table: str) -> int:
+    # formatted plans put the path on the node's "Location:" detail line
+    return sum(
+        1
+        for ln in plan.splitlines()
+        if "Location" in ln and f"{table}.parquet" in ln
+    )
+
+
+def _final_plan(spark, sf_dir, key):
+    # execute so AQE finalises (exchange reuse is a runtime decision)
+    import contextlib
+    import io
+
+    df = plans.QUERIES[key](spark, sf_dir)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_band_filtered_revenue_full_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "band_filtered_revenue")
+    # every predicate reaches the parquet scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,25.0)" in plan
+    assert "GreaterThanOrEqual(l_discount,0.03)" in plan
+    # and the scan reads only the 3 needed columns
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "l_orderkey" not in scan[0] and "l_partkey" not in scan[0]
+
+
+def test_part_profit_filters_part_dim_at_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "part_profit_by_nation")
+    # the name pattern prunes the part dim before the broadcast build
+    assert "StringContains(p_name,widget)" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_important_part_value_single_fact_scan(spark, sf_dir):
+    # the Q11 threshold must come from an aggregate OF the per-part
+    # aggregate — never a second INDEPENDENT scan of the fact table:
+    # the identical per-part-agg subtree on both sides collapses into
+    # a ReusedExchange once AQE finalises
+    plan = _final_plan(spark, sf_dir, "important_part_value")
+    assert _scan_count(plan, "lineitem") == 1 or "ReusedExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_customer_order_histogram_keeps_left_join(spark, sf_dir):
+    # the priority exclusion must live IN the join condition: a
+    # post-filter would silently drop zero-order customers
+    plan = _plan(spark, sf_dir, "customer_order_histogram")
+    assert "LeftOuter" in plan
+
+
+def test_top_revenue_supplier_single_fact_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "top_revenue_supplier")
+    assert _scan_count(plan, "lineitem") == 1
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_disjunctive_brand_revenue_or_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "disjunctive_brand_revenue")
+    # the OR-of-ANDs on part attributes reaches the part scan
+    assert "Or(" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dominant_part_shippers_agg_of_agg(spark, sf_dir):
+    # per-part denominator = aggregate of the pair-grain aggregate;
+    # the shared subtree must reuse its exchange, not rescan the fact
+    plan = _final_plan(spark, sf_dir, "dominant_part_shippers")
+    assert _scan_count(plan, "lineitem") == 1 or "ReusedExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sole_late_supplier_one_pass(spark, sf_dir):
+    # both existentials collapse into one aggregate: lineitem must be
+    # scanned exactly once (the naive Q21 plan scans it three times)
+    plan = _plan(spark, sf_dir, "sole_late_supplier")
+    assert _scan_count(plan, "lineitem") == 1
+    assert "CartesianProduct" not in plan
