@@ -75,6 +75,11 @@ BENCH_KEYS: list[str] = [
     "customer_order_histogram",
     "disjunctive_brand_revenue",
     "sole_late_supplier",
+    "paragraph_dedup",
+    "heavy_hitters_ngrams",
+    "temperature_mixing",
+    "corpus_stats",
+    "sequence_packing",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

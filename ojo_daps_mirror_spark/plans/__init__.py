@@ -43,6 +43,7 @@ def load_all() -> None:
         jobs_observatory,
         llm_plans,
         llm_plans2,
+        llm_plans3,
         misc_plans,
         parity_plans,
         olap,

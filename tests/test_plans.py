@@ -379,3 +379,37 @@ def test_sole_late_supplier_one_pass(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sole_late_supplier")
     assert _scan_count(plan, "lineitem") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_paragraph_dedup_single_wide_shuffle(spark, sf_dir):
+    # chunking map-side (posexplode), first-occurrence as ONE window on
+    # the chunk hash — no self-join
+    plan = _plan(spark, sf_dir, "paragraph_dedup")
+    assert "posexplode" in plan or "Generate" in plan
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_topk_no_full_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "heavy_hitters_ngrams")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_temperature_mixing_broadcasts_rates(spark, sf_dir):
+    # the |langs|-row derived-rate table must broadcast onto the doc
+    # scan; the filter itself is map-side
+    plan = _plan(spark, sf_dir, "temperature_mixing")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_corpus_stats_one_agg_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "corpus_stats")
+    assert _scan_count(plan, "documents") == 1
+    assert "Join" not in plan
+
+
+def test_sequence_packing_one_window_no_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sequence_packing")
+    assert "Window" in plan
+    assert "Join" not in plan
