@@ -80,6 +80,10 @@ BENCH_KEYS: list[str] = [
     "temperature_mixing",
     "corpus_stats",
     "sequence_packing",
+    "line_quality_filter",
+    "inverted_index",
+    "bloom_decontaminate",
+    "order_price_histogram",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

@@ -44,6 +44,7 @@ def load_all() -> None:
         llm_plans,
         llm_plans2,
         llm_plans3,
+        llm_plans4,
         misc_plans,
         parity_plans,
         olap,

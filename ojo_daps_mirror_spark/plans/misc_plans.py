@@ -150,6 +150,62 @@ ORDER BY c.user_id
 """
 
 
+# ---------------------------------------------------------------- C40
+
+_C40_ORACLE = """
+WITH expanded AS (
+  SELECT event_type,
+         date_trunc('second', ts)
+           - (CAST(floor(epoch(ts)) AS BIGINT) % 21600) * INTERVAL 1 SECOND
+           - k * INTERVAL 6 HOUR AS ws
+  FROM events, unnest(generate_series(0, 3)) AS u(k)
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM expanded
+GROUP BY ws, event_type
+ORDER BY window_start, event_type
+"""
+
+
+@register("streaming_sliding_counts", oracle=_C40_ORACLE)
+def streaming_sliding_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming counts (24 h window / 6 h slide,
+    streaming/windows.py), availableNow to completion. Batch oracle:
+    every event belongs to exactly window/slide = 4 grid-aligned
+    windows, generated per event and re-aggregated — with no late data
+    past the watermark the drained stream must agree exactly."""
+    from ..streaming.windows import streaming_sliding_counts
+
+    return streaming_sliding_counts(spark, sf_dir)
+
+
+# ---------------------------------------------------------------- C41
+
+_C41_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_purchases,
+       ROUND(SUM(value) + 1e-9, 4) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+WHERE event_type = 'purchase'
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("streaming_static_enrich", oracle=_C41_ORACLE)
+def streaming_static_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join (streaming/windows.py): purchase
+    stream enriched with the customer dim, per-segment totals,
+    complete-mode memory sink. Batch oracle: the identical join+agg in
+    SQL — the static side is the same table every micro-batch, so the
+    drained result equals the batch result."""
+    from ..streaming.windows import streaming_static_enrich
+
+    return streaming_static_enrich(spark, sf_dir)
+
+
 @register("streaming_join_conversions", oracle=_C22_ORACLE)
 def streaming_join_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (streaming/joins.py): clicks joined
