@@ -84,6 +84,13 @@ BENCH_KEYS: list[str] = [
     "inverted_index",
     "bloom_decontaminate",
     "order_price_histogram",
+    "cross_source_overlap",
+    "quality_percentile_blend",
+    "cdc_merge",
+    "bpe_pair_counts",
+    "rag_chunking",
+    "incremental_minhash_dedup",
+    "embedding_cluster_stats",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

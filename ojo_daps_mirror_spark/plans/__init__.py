@@ -45,6 +45,8 @@ def load_all() -> None:
         llm_plans2,
         llm_plans3,
         llm_plans4,
+        llm_plans5,
+        llm_plans6,
         misc_plans,
         parity_plans,
         olap,

@@ -453,6 +453,10 @@ def near_dup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same knob is set where it separates signal from bulk (score
 # distribution p99 ≈ 0.17 at sf0.01).
 REL_DUP_THRESHOLD = 0.2
+# Query-side salting: windows alone bound parallelism at N_WINDOWS
+# tasks; each window fans out into this many tasks, each receiving the
+# full window but scoring a disjoint query slice.
+ADAPTIVE_QUERY_SALT = 8
 
 _A33_ORACLE = f"""
 WITH assigned AS (
@@ -491,8 +495,15 @@ def near_dup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     than sparse ones, which is what makes the reference robust across
     both (faiss_utils.py:103 find_similar_vectors).
 
-    Scale shape: one applyInPandas task per window (the reference's
-    per-window-FAISS-index memory contract); L1 distances run in
+    Scale shape: the window count bounds task parallelism (the
+    reference's per-window-FAISS-index memory contract), so the QUERY
+    side is additionally salted {ADAPTIVE_QUERY_SALT} ways — every
+    (window, salt) task receives the FULL window (neighbor set and
+    local-density mean need it) but emits scores only for its own
+    query slice (vec_id % salt), giving windows × salt tasks for the
+    O(n_w²·d) pass at the cost of replicating the window shuffle
+    ×salt (embeddings are narrow; at 100 TB the salt is the knob
+    trading shuffle volume for task granularity). L1 distances run in
     bounded numpy chunks so no n_w² matrix materialises; only
     above-threshold pairs leave the task, and the max-over-windows agg
     touches only those.
@@ -503,21 +514,28 @@ def near_dup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     windows = spark.createDataFrame(
         [
-            (w, w * WINDOW_STRIDE, w * WINDOW_STRIDE + WINDOW_DAYS - 1)
+            (w, w * WINDOW_STRIDE, w * WINDOW_STRIDE + WINDOW_DAYS - 1, s)
             for w in range(N_WINDOWS)
+            for s in range(ADAPTIVE_QUERY_SALT)
         ],
-        "w INT, lo INT, hi INT",
+        "w INT, lo INT, hi INT, salt INT",
     )
     day = F.col("vec_id") % HORIZON_DAYS
     assigned = emb.join(
         F.broadcast(windows), (day >= F.col("lo")) & (day <= F.col("hi"))
-    ).select("w", "vec_id", "embedding")
+    ).select("w", "salt", "vec_id", "embedding")
 
     def window_adaptive(pdf):
         ids = pdf["vec_id"].to_numpy()
         M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         n = len(ids)
         if n < 2:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "score": []})
+        salt = int(pdf["salt"].iloc[0])
+        # This task scores only ITS query slice; neighbors/means use the
+        # full window (every task of a window receives identical rows).
+        q_idx = np.nonzero(ids % ADAPTIVE_QUERY_SALT == salt)[0]
+        if len(q_idx) == 0:
             return pd.DataFrame({"query_id": [], "neighbor_id": [], "score": []})
         ch_i, ch_j = 128, 4096
         # Pass 1: per-row L1 sums in O(n·d·log n) via per-dimension
@@ -537,19 +555,20 @@ def near_dup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
             M * (2.0 * (ranks + 1) - n) + total[None, :] - 2.0 * csum_at
         ).sum(axis=1)
         mean = row_sum / (n - 1)
-        # Pass 2: emit qualifying pairs only.
+        # Pass 2: emit qualifying pairs only, for this salt's queries.
+        Mq, idsq, meanq = M[q_idx], ids[q_idx], mean[q_idx]
+        nq = len(q_idx)
         out_q, out_n, out_s = [], [], []
-        for i in range(0, n, ch_i):
+        for i in range(0, nq, ch_i):
             for j in range(0, n, ch_j):
                 D = np.abs(
-                    M[i : i + ch_i, None, :] - M[None, j : j + ch_j, :]
+                    Mq[i : i + ch_i, None, :] - M[None, j : j + ch_j, :]
                 ).sum(-1)
-                S = (mean[i : i + ch_i, None] - D) / mean[i : i + ch_i, None]
+                S = (meanq[i : i + ch_i, None] - D) / meanq[i : i + ch_i, None]
                 qi, ni = np.nonzero(S > REL_DUP_THRESHOLD)
-                gq, gn = qi + i, ni + j
-                keep = gq != gn
-                out_q.append(ids[gq[keep]])
-                out_n.append(ids[gn[keep]])
+                keep = idsq[qi + i] != ids[ni + j]
+                out_q.append(idsq[(qi + i)[keep]])
+                out_n.append(ids[(ni + j)[keep]])
                 out_s.append(S[qi, ni][keep])
         return pd.DataFrame(
             {
@@ -560,7 +579,7 @@ def near_dup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        assigned.groupBy("w")
+        assigned.groupBy("w", "salt")
         .applyInPandas(
             window_adaptive, schema="query_id bigint, neighbor_id bigint, score double"
         )

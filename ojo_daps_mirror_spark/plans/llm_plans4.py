@@ -17,6 +17,7 @@ from ..functions.text import (
     STOPWORDS,
     hash64,
     shingles,
+    sql_hash64,
     sql_shingles,
     sql_tokens,
     tokens,
@@ -218,35 +219,40 @@ BLOOM_SHINGLE_K = 3
 BLOOM_BENCH_MOD = 50  # doc_id % 50 == 0 plays the held-out benchmark
 
 
-def _sql_bloom_pos(s_expr: str, i: int) -> str:
-    return (
-        f"(('0x' || substr(md5({s_expr} || '#{i}'), 1, 15))::BIGINT)"
-        f" % {BLOOM_BITS}"
-    )
+# All BLOOM_K positions derive from ONE md5 per shingle (the classic
+# split-hash / double-hashing Bloom construction): the 60-bit hash64 is
+# cut into disjoint 16-bit slices. One hash evaluation instead of K.
 
 
-def _bloom_pos(s_col: F.Column, i: int) -> F.Column:
-    return hash64(F.concat(s_col, F.lit(f"#{i}"))) % BLOOM_BITS
+def _sql_bloom_pos(h_expr: str, i: int) -> str:
+    return f"((({h_expr}) >> {16 * i}) % {BLOOM_BITS})"
+
+
+def _bloom_pos(h_col, i: int):
+    return F.shiftright(h_col, 16 * i) % BLOOM_BITS
 
 
 _pos_union = " UNION ALL ".join(
-    f"SELECT {_sql_bloom_pos('s', i)} AS pos FROM bench"
+    f"SELECT {_sql_bloom_pos('h', i)} AS pos FROM bench"
     for i in range(BLOOM_K)
 )
 _probe_union = " UNION ALL ".join(
-    f"SELECT doc_id, s, {_sql_bloom_pos('s', i)} AS pos FROM sh"
+    f"SELECT doc_id, s, {_sql_bloom_pos('h', i)} AS pos FROM sh"
     f" WHERE doc_id % {BLOOM_BENCH_MOD} <> 0"
     for i in range(BLOOM_K)
 )
 
 _C39_ORACLE = f"""
 WITH sh AS (
-  SELECT doc_id,
-         unnest({sql_shingles(sql_tokens("text"), BLOOM_SHINGLE_K)}) AS s
-  FROM documents
+  SELECT doc_id, s, {sql_hash64("s")} AS h
+  FROM (
+    SELECT doc_id,
+           unnest({sql_shingles(sql_tokens("text"), BLOOM_SHINGLE_K)}) AS s
+    FROM documents
+  )
 ),
 bench AS (
-  SELECT DISTINCT s FROM sh WHERE doc_id % {BLOOM_BENCH_MOD} = 0
+  SELECT DISTINCT s, h FROM sh WHERE doc_id % {BLOOM_BENCH_MOD} = 0
 ),
 bloom AS (
   SELECT pos // 32 AS word,
@@ -276,7 +282,9 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter benchmark decontamination — the fixed-memory
     alternative to C18's broadcast shingle SET. The benchmark slice's
     shingles are folded into a {BLOOM_BITS}-bit Bloom filter
-    ({BLOOM_K} md5-derived hash positions each); every training-doc
+    ({BLOOM_K} positions cut from one md5-derived 60-bit hash — the
+    split-hash construction, one hash evaluation per shingle); every
+    training-doc
     shingle probes the filter, and a doc is flagged with its count of
     bloom-positive shingles (a superset of C18's true hits — the
     filter's false positives are part of the defined output, and both
@@ -284,20 +292,24 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the filter is ≤{BLOOM_WORDS} (word, bits) rows no
     matter how large the benchmark grows — built with one bit_or
-    aggregate and BROADCAST to the probe join, where C18's set
-    broadcast grows linearly with the benchmark. Probing explodes each
-    shingle into {BLOOM_K} position rows (map-side), joins the tiny
-    filter, and re-aggregates; at 100 TB the filter would be sized
-    m ≈ 1.44·n·log2(1/fp) and carried as a task-local bitset, but the
-    broadcast-join form keeps the whole build+probe declarative.
+    aggregate and BROADCAST-joined {BLOOM_K}× at shingle grain (one
+    hash-lookup join per hash function, no pair-grain re-aggregation),
+    where C18's set broadcast grows linearly with the benchmark. The
+    bit tests are map-side codegen between the joins; the only wide
+    operation is the final doc-grain count, map-side combined. At
+    100 TB the filter is sized m ≈ 1.44·n·log2(1/fp) once and stays a
+    constant few MiB of broadcast, the layout a production
+    decontamination pass wants.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sh = docs.select(
         "doc_id",
         F.explode(shingles(tokens(F.col("text")), BLOOM_SHINGLE_K)).alias("s"),
+    ).select("doc_id", "s", hash64(F.col("s")).alias("h"))
+    bench = (
+        sh.where(F.col("doc_id") % BLOOM_BENCH_MOD == 0).select("s", "h").distinct()
     )
-    bench = sh.where(F.col("doc_id") % BLOOM_BENCH_MOD == 0).select("s").distinct()
-    pos_arr = F.array(*[_bloom_pos(F.col("s"), i) for i in range(BLOOM_K)])
+    pos_arr = F.array(*[_bloom_pos(F.col("h"), i) for i in range(BLOOM_K)])
     bloom = (
         bench.select(F.explode(pos_arr).alias("pos"))
         .groupBy((F.col("pos") / 32).cast("bigint").alias("word"))
@@ -307,30 +319,26 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bits")
         )
     )
-    probe = (
-        sh.where(F.col("doc_id") % BLOOM_BENCH_MOD != 0)
-        .select("doc_id", "s", F.explode(pos_arr).alias("pos"))
+    probe = sh.where(F.col("doc_id") % BLOOM_BENCH_MOD != 0).select(
+        "doc_id",
+        *[_bloom_pos(F.col("h"), i).alias(f"pos{i}") for i in range(BLOOM_K)],
     )
-    hits = (
-        probe.join(
-            F.broadcast(bloom),
-            (F.col("pos") / 32).cast("bigint") == F.col("word"),
+    for i in range(BLOOM_K):
+        b_i = F.broadcast(
+            bloom.select(
+                F.col("word").alias(f"word{i}"), F.col("bits").alias(f"bits{i}")
+            )
         )
-        .groupBy("doc_id", "s")
-        .agg(
-            F.sum(
-                (
-                    F.expr(
-                        "shiftright(bits, CAST(pos % 32 AS INT)) & CAST(1 AS BIGINT)"
-                    )
-                    == 1
-                ).cast("int")
-            ).alias("set_bits")
+        probe = probe.join(
+            b_i, (F.col(f"pos{i}") / 32).cast("bigint") == F.col(f"word{i}")
+        ).where(
+            F.expr(
+                f"(shiftright(bits{i}, CAST(pos{i} % 32 AS INT))"
+                f" & CAST(1 AS BIGINT)) = 1"
+            )
         )
-    )
     return (
-        hits.where(F.col("set_bits") == BLOOM_K)
-        .groupBy("doc_id")
+        probe.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
         .orderBy("doc_id")
     )

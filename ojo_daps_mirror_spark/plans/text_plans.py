@@ -237,6 +237,52 @@ _MH_A_SQL = "[" + ", ".join(map(str, MH_A)) + "]"
 _MH_B_SQL = "[" + ", ".join(map(str, MH_B)) + "]"
 
 
+def minhash_bands(raw: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) banded minhash signatures for a documents
+    frame — the shared LSH front end of `dedup_minhash_lsh` (C5) and
+    the incremental probe (C45).
+
+    All MH_PERMS minhashes are computed MAP-SIDE per row: one md5 per
+    shingle (materialised once as h31s, a column projection), then 8
+    affine maps + array_min each — no (doc, perm) explode, no shuffle.
+    The exploded version this replaced pushed |shingles| × 8 rows
+    through a groupBy.
+    """
+    hashed = raw.select(
+        "doc_id",
+        F.transform(
+            shingles(tokens(F.col("text")), MH_SHINGLE_K),
+            lambda s: hash64(s).bitwiseAND(F.lit(2147483647)),
+        ).alias("h31s"),
+    )
+    h31s = F.col("h31s")
+    mins = [
+        F.array_min(
+            F.transform(h31s, lambda h: (F.lit(MH_A[p]) * h + F.lit(MH_B[p])) % MH_PRIME)
+        )
+        for p in range(MH_PERMS)
+    ]
+    n_bands = MH_PERMS // MH_ROWS_PER_BAND
+    sig_df = hashed.select("doc_id", F.array(*mins).alias("mhs"))
+    band_sigs = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(F.col("mhs"), b * MH_ROWS_PER_BAND + r + 1).cast(
+                            "string"
+                        )
+                        for r in range(MH_ROWS_PER_BAND)
+                    ],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig_df.select("doc_id", F.posexplode(band_sigs).alias("band", "sig"))
+
+
 _C5_ORACLE = f"""
 WITH docs AS (
   SELECT doc_id, {sql_shingles(sql_tokens('text'), MH_SHINGLE_K)} AS sh
@@ -291,44 +337,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches only bucket-collision pairs — the 100 TB dedup shape.
     """
     raw = load_table(spark, sf_dir, "documents")
-    # All MH_PERMS minhashes are computed MAP-SIDE per row: one md5 per
-    # shingle (materialised once as h31s, a column projection), then 8
-    # affine maps + array_min each — no (doc, perm) explode, no shuffle
-    # until the band buckets. The exploded version this replaced pushed
-    # |shingles| × 8 rows through a groupBy.
-    hashed = raw.select(
-        "doc_id",
-        F.transform(
-            shingles(tokens(F.col("text")), MH_SHINGLE_K),
-            lambda s: hash64(s).bitwiseAND(F.lit(2147483647)),
-        ).alias("h31s"),
-    )
-    h31s = F.col("h31s")
-    mins = [
-        F.array_min(
-            F.transform(h31s, lambda h: (F.lit(MH_A[p]) * h + F.lit(MH_B[p])) % MH_PRIME)
-        )
-        for p in range(MH_PERMS)
-    ]
-    n_bands = MH_PERMS // MH_ROWS_PER_BAND
-    sig_df = hashed.select("doc_id", F.array(*mins).alias("mhs"))
-    band_sigs = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.element_at(F.col("mhs"), b * MH_ROWS_PER_BAND + r + 1).cast(
-                            "string"
-                        )
-                        for r in range(MH_ROWS_PER_BAND)
-                    ],
-                )
-            )
-            for b in range(n_bands)
-        ]
-    )
-    bands = sig_df.select("doc_id", F.posexplode(band_sigs).alias("band", "sig"))
+    bands = minhash_bands(raw)
     # Bucket members per (band, sig); pairs expand map-side from the
     # sorted member list (same one-shuffle shape as ngram_jaccard).
     buckets = (

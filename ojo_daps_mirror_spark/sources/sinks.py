@@ -58,3 +58,24 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return spark.read.schema(schema).json(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw media ingestion via Spark's built-in ``binaryFile`` source:
+    one row per file with (path, modificationTime, length, content) —
+    the 100 TB way to land image/audio/video blobs into the opaque
+    ``binary``-column model that operators/multimodal.py processes
+    (the reference's equivalent surface is raw S3 object collection in
+    flows/collect).
+
+    Files are read whole into single rows (no splitting), so
+    parallelism comes from the file count — at scale, land media as
+    many objects, not few giant archives. ``glob`` (e.g. ``*.jpg``)
+    filters at listing time via pathGlobFilter, before any read.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

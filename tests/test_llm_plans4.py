@@ -121,16 +121,19 @@ def test_bloom_filter_is_broadcast_and_bounded(spark, sf_dir):
         BLOOM_K,
     )
 
+    from ojo_daps_mirror_spark.functions.text import hash64
+
     docs = load_table(spark, sf_dir, "documents")
     bench = (
         docs.where(F.col("doc_id") % BLOOM_BENCH_MOD == 0)
         .select(F.explode(shingles(tokens(F.col("text")), BLOOM_SHINGLE_K)).alias("s"))
         .distinct()
+        .select(hash64(F.col("s")).alias("h"))
     )
     n_words = (
         bench.select(
             F.explode(
-                F.array(*[_bloom_pos(F.col("s"), i) for i in range(BLOOM_K)])
+                F.array(*[_bloom_pos(F.col("h"), i) for i in range(BLOOM_K)])
             ).alias("pos")
         )
         .select((F.col("pos") / 32).cast("bigint").alias("w"))

@@ -174,3 +174,41 @@ def test_streaming_sink_restart_is_idempotent(spark, sf_dir, tmp_path):
     first = stream_to_partitioned_parquet(spark, sf_dir, out, ck).count()
     second = stream_to_partitioned_parquet(spark, sf_dir, out, ck).count()
     assert first == second
+
+
+def test_binary_file_source_reads_blobs(spark, tmp_path):
+    """binaryFile source: one row per media file, whole-content binary
+    column, glob filtering at listing time — the multimodal landing
+    path (SURVEY §2 D8)."""
+    import os
+
+    from ojo_daps_mirror_spark.sources.sinks import read_binary_files
+
+    blobs = {
+        "a.img": b"\x89IMG" + bytes(range(64)),
+        "b.img": b"\x89IMG" + bytes(reversed(range(64))),
+        "c.txt": b"not media",
+    }
+    for name, payload in blobs.items():
+        (tmp_path / name).write_bytes(payload)
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.img")
+    assert {f.name for f in df.schema.fields} == {
+        "path",
+        "modificationTime",
+        "length",
+        "content",
+    }
+    rows = {os.path.basename(r.path): bytes(r.content) for r in df.collect()}
+    assert rows == {k: v for k, v in blobs.items() if k.endswith(".img")}
+
+    # the blob feeds straight into the multimodal decode kernel's shape:
+    # binary payload + typed metadata, Arrow-batched
+    from ojo_daps_mirror_spark.operators.multimodal import decode_media
+
+    docs = df.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("content"),
+    ).withColumn("text", F.lit("stub"))
+    decoded = decode_media(docs)
+    assert decoded.count() == 2
