@@ -91,6 +91,9 @@ BENCH_KEYS: list[str] = [
     "rag_chunking",
     "incremental_minhash_dedup",
     "embedding_cluster_stats",
+    "universal_week_counts",
+    "dataset_shard_assign",
+    "source_concentration",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

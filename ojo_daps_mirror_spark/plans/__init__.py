@@ -47,6 +47,7 @@ def load_all() -> None:
         llm_plans4,
         llm_plans5,
         llm_plans6,
+        llm_plans7,
         misc_plans,
         parity_plans,
         olap,
