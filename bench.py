@@ -94,6 +94,9 @@ BENCH_KEYS: list[str] = [
     "universal_week_counts",
     "dataset_shard_assign",
     "source_concentration",
+    "timeseries_gap_fill",
+    "weekly_anomaly_flags",
+    "user_behavior_similarity",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

@@ -48,6 +48,7 @@ def load_all() -> None:
         llm_plans5,
         llm_plans6,
         llm_plans7,
+        llm_plans8,
         misc_plans,
         parity_plans,
         olap,
