@@ -60,6 +60,23 @@ def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def write_text(df: DataFrame, path: str, column: str = "text") -> None:
+    """One line per document, the rawest corpus interchange format
+    (compressed .txt shards are how public text corpora actually
+    ship). The single-column constraint is the format's, not ours."""
+    df.select(column).write.mode("overwrite").text(path)
+
+
+def read_text(
+    spark: SparkSession, path: str, whole_file: bool = False
+) -> DataFrame:
+    """Line-per-row text source; with ``whole_file`` each FILE becomes
+    one row (wholetext) — the one-doc-per-file corpus layout. Line mode
+    splits on newlines and parallelises within files; wholetext cannot
+    split, so parallelism = file count (same contract as binaryFile)."""
+    return spark.read.option("wholetext", whole_file).text(path)
+
+
 def read_binary_files(
     spark: SparkSession, path: str, glob: str | None = None
 ) -> DataFrame:

@@ -1,0 +1,108 @@
+"""Global physical-plan guardrails over EVERY registered query.
+
+The per-operator plan audits (test_plans.py etc.) assert specific
+optimizations; this sweep asserts the engine-wide invariants:
+
+- no row-at-a-time Python (BatchEvalPython) anywhere — Python only
+  enters via Arrow-batched kernels, and only in the operators that
+  genuinely need numpy (ANN / simhash / windowed near-dup families);
+- no CartesianProduct, ever;
+- BroadcastNestedLoopJoin only where it is the DESIGN: broadcast
+  scalar/tiny-dim attaches (weekly index frames, window dims, global
+  thresholds) and the declared-exact brute-force ANN baseline.
+
+A new operator that accidentally introduces a Python UDF or an
+unconstrained join fails this sweep by default — additions to the
+allowlists must be argued in the diff.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from ojo_daps_mirror_spark import plans
+
+plans.load_all()
+
+# Arrow-batched Python kernels: the numpy escape hatches only.
+ARROW_OK = {
+    "ann_ivf",
+    "ann_lsh_bucketed",
+    "ann_pq_adc",
+    "dedup_simhash",
+    "embedding_dedup_graph",
+    "multimodal_decode",
+    "near_dup_adaptive",
+    "near_dup_cosine",
+    "near_dup_windowed",
+    "pq_encode",
+    "semdedup",
+    "text_dedup_pipeline",
+    "vectorise_stub",
+}
+
+# BroadcastNestedLoopJoin: broadcast scalar / tiny-dim attaches with
+# range or true predicates, plus the declared brute-force ANN baseline.
+BNLJ_OK = {
+    "ann_topk_bruteforce",  # exact all-pairs baseline BY DESIGN
+    "dormant_rich_customers",  # broadcast scalar avg-balance threshold
+    "important_part_value",  # broadcast scalar share threshold
+    "near_dup_adaptive",  # broadcast window dim, range condition
+    "near_dup_windowed",  # broadcast window dim, range condition
+    "remove_frequent_forms",  # broadcast scalar p95 threshold
+    "soc_substring_match",  # broadcast lexicon, substring predicate
+    "tfidf_top_terms",  # broadcast scalar doc count
+    "timeseries_gap_fill",  # broadcast 2-scalar calendar bounds
+    "weekly_locs_vacancies",  # broadcast Monday index frame
+    "weekly_soc_vacancies",  # broadcast Monday index frame
+    "weekly_stock",  # broadcast Monday index frame
+    "weekly_stock_by_region",  # broadcast Monday index frame
+    "incremental_minhash_dedup",  # broadcast pair frame in verify
+    "dedup_minhash_lsh",  # broadcast pair frame in verify
+    "ngram_jaccard",  # broadcast pair frame in verify
+    "user_behavior_similarity",  # broadcast pair frame in verify
+}
+
+BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
+
+
+@pytest.fixture(scope="module")
+def all_plans(spark, sf_dir):
+    out = {}
+    for key in BATCH_KEYS:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            plans.QUERIES[key](spark, sf_dir).explain("formatted")
+        out[key] = buf.getvalue()
+    return out
+
+
+def test_no_row_at_a_time_python_anywhere(all_plans):
+    offenders = [k for k, p in all_plans.items() if "BatchEvalPython" in p]
+    assert not offenders, offenders
+
+
+def test_no_cartesian_product_anywhere(all_plans):
+    offenders = [k for k, p in all_plans.items() if "CartesianProduct" in p]
+    assert not offenders, offenders
+
+
+def test_arrow_python_only_in_numpy_operators(all_plans):
+    offenders = [
+        k
+        for k, p in all_plans.items()
+        if "ArrowEvalPython" in p or "MapInPandas" in p or "FlatMapGroupsInPandas" in p
+    ]
+    unexpected = set(offenders) - ARROW_OK
+    assert not unexpected, sorted(unexpected)
+
+
+def test_bnlj_only_where_designed(all_plans):
+    offenders = [
+        k for k, p in all_plans.items() if ") BroadcastNestedLoopJoin" in p
+    ]
+    unexpected = set(offenders) - BNLJ_OK
+    assert not unexpected, sorted(unexpected)

@@ -212,3 +212,22 @@ def test_binary_file_source_reads_blobs(spark, tmp_path):
     ).withColumn("text", F.lit("stub"))
     decoded = decode_media(docs)
     assert decoded.count() == 2
+
+
+def test_text_source_round_trip(spark, sf_dir, tmp_path):
+    """Line-per-doc text round-trip + wholetext (one row per file) —
+    the raw corpus interchange formats (SURVEY §2 D9)."""
+    from ojo_daps_mirror_spark.sources.sinks import read_text, write_text
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    path = str(tmp_path / "corpus_txt")
+    write_text(docs, path)
+    back = read_text(spark, path)
+    assert sorted(r.value for r in back.collect()) == sorted(
+        r.text for r in docs.collect()
+    )
+
+    whole = read_text(spark, path, whole_file=True)
+    # each parquet-partition-derived file is one row containing its lines
+    n_lines = sum(len(r.value.rstrip("\n").split("\n")) for r in whole.collect())
+    assert n_lines == 50
