@@ -97,6 +97,9 @@ BENCH_KEYS: list[str] = [
     "timeseries_gap_fill",
     "weekly_anomaly_flags",
     "user_behavior_similarity",
+    "ann_topk_blocked",
+    "hybrid_search_rrf",
+    "behavior_triangles",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

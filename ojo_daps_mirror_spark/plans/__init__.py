@@ -49,6 +49,7 @@ def load_all() -> None:
         llm_plans6,
         llm_plans7,
         llm_plans8,
+        llm_plans9,
         misc_plans,
         parity_plans,
         olap,

@@ -1,0 +1,76 @@
+"""Semantic + plan tests for C53–C55."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from ojo_daps_mirror_spark import plans
+from ojo_daps_mirror_spark.plans.llm_plans9 import RRF_K, RRF_TOP
+
+plans.load_all()
+
+
+def _plan(spark, sf_dir, key):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plans.QUERIES[key](spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+def test_blocked_topk_equals_bruteforce(spark, sf_dir):
+    """The streaming blocked plan must reproduce the NLJ baseline
+    EXACTLY — same neighbors, same ranks, same rounded sims."""
+    blocked = [
+        (r.query_id, r.neighbor_id, r.rank, r.cos_sim)
+        for r in plans.QUERIES["ann_topk_blocked"](spark, sf_dir).collect()
+    ]
+    brute = [
+        (r.query_id, r.neighbor_id, r.rank, r.cos_sim)
+        for r in plans.QUERIES["ann_topk_bruteforce"](spark, sf_dir).collect()
+    ]
+    assert blocked == brute
+
+
+def test_blocked_topk_has_no_nlj(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ann_topk_blocked")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_scores_consistent(spark, sf_dir):
+    rows = plans.QUERIES["hybrid_search_rrf"](spark, sf_dir).collect()
+    assert len(rows) == RRF_TOP
+    rrfs = [r.rrf for r in rows]
+    assert rrfs == sorted(rrfs, reverse=True)
+    for r in rows:
+        expect = 1.0 / (RRF_K + r.kw_rank) + 1.0 / (RRF_K + r.vec_rank)
+        assert abs(r.rrf - expect) < 1e-5
+        assert r.kw_rank >= 1 and r.vec_rank >= 1
+
+
+def test_triangles_are_closed(spark, sf_dir):
+    """Every counted triangle must be three mutual similarity edges.
+    Recheck by closing the edge set on the driver (small by design)."""
+    edges = {
+        (r.u1, r.u2)
+        for r in plans.QUERIES["user_behavior_similarity"](spark, sf_dir).collect()
+    }
+    tri_count = {}
+    es = sorted(edges)
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+    manual = {}
+    for a, b in es:
+        for c in adj.get(b, ()):
+            if (a, c) in edges:
+                for u in (a, b, c):
+                    manual[u] = manual.get(u, 0) + 1
+    got = {
+        r.user_id: r.n_triangles
+        for r in plans.QUERIES["behavior_triangles"](spark, sf_dir).collect()
+    }
+    assert got == manual

@@ -29,6 +29,7 @@ plans.load_all()
 
 # Arrow-batched Python kernels: the numpy escape hatches only.
 ARROW_OK = {
+    "ann_topk_blocked",
     "ann_ivf",
     "ann_lsh_bucketed",
     "ann_pq_adc",
@@ -64,6 +65,7 @@ BNLJ_OK = {
     "dedup_minhash_lsh",  # broadcast pair frame in verify
     "ngram_jaccard",  # broadcast pair frame in verify
     "user_behavior_similarity",  # broadcast pair frame in verify
+    "hybrid_search_rrf",  # broadcast 1-row df-count + query-vector attaches
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
