@@ -100,6 +100,7 @@ BENCH_KEYS: list[str] = [
     "ann_topk_blocked",
     "hybrid_search_rrf",
     "behavior_triangles",
+    "heavy_hitters_approx",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

@@ -288,3 +288,43 @@ def plans_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import QUERIES
 
     return QUERIES["user_behavior_similarity"](spark, sf_dir)
+
+
+# ---------------------------------------------------------------- C56
+
+
+@register("heavy_hitters_approx")  # rows-only: sketch-based by design
+def heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based heavy hitters — the 100 TB twin of C32's exact
+    top-20 n-grams: ``approx_top_k`` keeps a bounded
+    frequent-items sketch per partition (mergeable, fixed memory)
+    instead of materialising the full gram count table, the
+    Misra-Gries/SpaceSaving trade every production heavy-hitter pass
+    makes. Counts for genuinely heavy items are exact whenever their
+    frequency exceeds the sketch's tracking floor; the containment
+    property (true top-k ⊆ sketch top-k for modest k) is asserted in
+    tests/test_llm_plans9.py against the exact C32 result.
+
+    Scale shape: ONE aggregate with a constant-size state per
+    partition — no gram-grain shuffle at all (C32 shuffles |distinct
+    grams| combiner rows; here only sketches cross the wire).
+    """
+    from ..functions.text import shingles, tokens
+    from .llm_plans3 import HH_NGRAM, HH_TOP_K
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = docs.select(
+        F.explode(shingles(tokens(F.col("text")), HH_NGRAM)).alias("gram")
+    )
+    sketch = grams.agg(
+        F.expr(f"approx_top_k(gram, {HH_TOP_K}, 100000)").alias("tk")
+    )
+    return (
+        sketch.select(F.posexplode("tk").alias("rnk0", "s"))
+        .select(
+            F.col("s.item").alias("gram"),
+            F.col("s.count").cast("bigint").alias("doc_freq"),
+            (F.col("rnk0") + 1).cast("bigint").alias("rnk"),
+        )
+        .orderBy("rnk")
+    )

@@ -74,3 +74,34 @@ def test_triangles_are_closed(spark, sf_dir):
         for r in plans.QUERIES["behavior_triangles"](spark, sf_dir).collect()
     }
     assert got == manual
+
+
+def test_approx_heavy_hitters_contains_exact_top(spark, sf_dir):
+    """With the sketch budget far above the gram cardinality at test
+    SFs the sketch is exact: same items, same counts, same order as
+    the exact C32 heavy hitters."""
+    approx = [
+        (r.gram, r.doc_freq)
+        for r in plans.QUERIES["heavy_hitters_approx"](spark, sf_dir).collect()
+    ]
+    exact = [
+        (r.gram, r.doc_freq)
+        for r in plans.QUERIES["heavy_hitters_ngrams"](spark, sf_dir).collect()
+    ]
+    # Ties at the k-th count make "the" top-20 ambiguous: both engines
+    # return a valid top-20 but may pick different tied tail items. The
+    # invariants that hold regardless: every STRICTLY-above-boundary
+    # item appears in both with the same count, and nothing below the
+    # boundary sneaks in.
+    boundary = min(c for _, c in exact)
+    assert {p for p in approx if p[1] > boundary} == {
+        p for p in exact if p[1] > boundary
+    }
+    assert all(c >= boundary for _, c in approx)
+    assert len(approx) == len(exact)
+
+
+def test_approx_heavy_hitters_single_aggregate_no_gram_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "heavy_hitters_approx")
+    # one global sketch aggregate: no gram-grain hash partitioning
+    assert "hashpartitioning(gram" not in plan

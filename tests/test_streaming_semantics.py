@@ -71,3 +71,45 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # duplicate appended window either)
     assert got.count(("2000-01-10", 2)) == 1, got
     assert all(not (d == "2000-01-10" and n != 2) for d, n in got), got
+
+
+def test_foreachbatch_upsert_state_matches_batch_and_restart_is_noop(
+    spark, sf_dir, tmp_path
+):
+    """D10: the foreachBatch keyed-upsert sink. Drained state must equal
+    the batch GROUP BY, and restarting on the same checkpoint must not
+    double-count (idempotent per-batch directories)."""
+    from pyspark.sql import functions as F
+
+    from ojo_daps_mirror_spark.sources import load_table
+    from ojo_daps_mirror_spark.streaming.upsert import (
+        read_profiles,
+        stream_upsert_profiles,
+    )
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    stream_upsert_profiles(spark, sf_dir, state, ckpt)
+    got = {
+        r.user_id: (r.n_events, round(r.sum_value, 4))
+        for r in read_profiles(spark, state).collect()
+    }
+    expect = {
+        r.user_id: (r.n_events, round(r.sum_value, 4))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == expect
+
+    # restart on the drained checkpoint: no new batches, state unchanged
+    stream_upsert_profiles(spark, sf_dir, state, ckpt)
+    again = {
+        r.user_id: (r.n_events, round(r.sum_value, 4))
+        for r in read_profiles(spark, state).collect()
+    }
+    assert again == expect
