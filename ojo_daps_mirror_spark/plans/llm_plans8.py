@@ -174,10 +174,15 @@ def weekly_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 BEHAV_NGRAM = 3
 BEHAV_JACCARD = 0.35  # calibrated: p99 of the pair distribution at test SFs
 BEHAV_GRAM_CAP = 500  # inverted-index heavy-gram guard (same role as NG_DF_CAP)
+# Per-user sequence cap: bounds the sorted-collect state per key (a
+# hyperactive user/bot must not OOM its reducer); far above any real
+# per-user volume at test SFs, so results are unchanged there.
+BEHAV_MAX_EVENTS = 5000
 
 _C52_ORACLE = f"""
 WITH seq AS (
-  SELECT user_id, list(event_type ORDER BY ts, event_id) AS es
+  SELECT user_id,
+         (list(event_type ORDER BY ts, event_id))[1:{BEHAV_MAX_EVENTS}] AS es
   FROM events GROUP BY user_id
 ),
 grams AS (
@@ -219,9 +224,15 @@ def user_behavior_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "event_type"
     )
     seqs = events.groupBy("user_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
-            lambda s: s["event_type"],
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            1,
+            BEHAV_MAX_EVENTS,
         ).alias("es")
     )
     es = F.col("es")

@@ -216,3 +216,45 @@ def streaming_join_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.joins import streaming_click_to_purchase
 
     return streaming_click_to_purchase(spark, sf_dir)
+
+
+# ---------------------------------------------------------------- C57
+
+_C57_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'click'
+    AND ts < least(
+          (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+          (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+        - INTERVAL 3 HOUR
+),
+matched AS (
+  SELECT c.user_id, c.event_id,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM events p
+           WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+         ) THEN 1 ELSE 0 END AS converted
+  FROM clicks c
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_clicks,
+       CAST(SUM(1 - converted) AS BIGINT) AS n_unconverted
+FROM matched
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("streaming_unconverted_clicks", oracle=_C57_ORACLE)
+def streaming_unconverted_clicks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join (streaming/joins.py):
+    clicks with no same-user purchase within the hour surface as
+    NULL-matched rows once the watermark closes them — the abandonment
+    funnel. Batch oracle: per-click EXISTS over the same interval.
+    With availableNow draining the bounded source every click resolves,
+    so the drained outer join must agree exactly."""
+    from ..streaming.joins import streaming_unconverted_clicks
+
+    return streaming_unconverted_clicks(spark, sf_dir)

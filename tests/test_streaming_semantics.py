@@ -113,3 +113,47 @@ def test_foreachbatch_upsert_state_matches_batch_and_restart_is_noop(
         for r in read_profiles(spark, state).collect()
     }
     assert again == expect
+
+
+def test_left_outer_interval_join_closure(spark, sf_dir):
+    """C57: the left-outer stream-stream join. Within the
+    watermark-closed region every click resolves, unconverted =
+    no purchase within the hour (checked per user against a batch
+    recomputation)."""
+    from pyspark.sql import functions as F
+
+    from ojo_daps_mirror_spark import plans
+    from ojo_daps_mirror_spark.sources import load_table
+
+    plans.load_all()
+    rows = plans.QUERIES["streaming_unconverted_clicks"](spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    maxes = {
+        r.event_type: r.m
+        for r in ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .collect()
+    }
+    import datetime
+
+    boundary = min(maxes.values()) - datetime.timedelta(hours=3)
+    clicks = [
+        (r.user_id, r.ts)
+        for r in ev.where(F.col("event_type") == "click").collect()
+        if r.ts < boundary
+    ]
+    purchases = {}
+    for r in ev.where(F.col("event_type") == "purchase").collect():
+        purchases.setdefault(r.user_id, []).append(r.ts)
+    manual = {}
+    for u, cts in clicks:
+        n, un = manual.get(u, (0, 0))
+        converted = any(
+            cts <= p <= cts + datetime.timedelta(hours=1)
+            for p in purchases.get(u, ())
+        )
+        manual[u] = (n + 1, un + (0 if converted else 1))
+    got = {r.user_id: (r.n_clicks, r.n_unconverted) for r in rows}
+    assert got == manual
