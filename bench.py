@@ -101,6 +101,9 @@ BENCH_KEYS: list[str] = [
     "hybrid_search_rrf",
     "behavior_triangles",
     "heavy_hitters_approx",
+    "as_of_join_forward",
+    "point_in_time_join",
+    "zorder_key",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

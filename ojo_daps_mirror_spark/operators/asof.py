@@ -28,35 +28,57 @@ def asof_join(
     build_time: str,
     build_values: list[str],
     build_key: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: probe rows keep NULL build values when nothing
-    precedes them. Probe columns are preserved. ``build_key`` defaults
-    to ``key`` when the build side uses the same column name."""
+    qualifies. Probe columns are preserved. ``build_key`` defaults to
+    ``key`` when the build side uses the same column name.
+
+    direction="backward" (default): greatest build time ≤ probe time —
+    "state as of". direction="forward": smallest build time ≥ probe
+    time — "next occurrence after" (the other half of pandas
+    merge_asof). Both are the same single key-shuffle + one window; the
+    forward form carries the FIRST following build row instead of the
+    last preceding one.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
     probe_cols = probe.columns
+    # at equal times the build row must qualify for both ≤ and ≥:
+    # backward → build sorts first; forward → build sorts last
+    build_side = 0 if direction == "backward" else 1
     b = build.select(
         F.col(build_key or key).alias("_k"),
         F.col(build_time).cast("timestamp").alias("_t"),
-        F.lit(0).alias("_side"),
+        F.lit(build_side).alias("_side"),
         *[F.col(c) for c in build_values],
         *[F.lit(None).alias(f"_p_{c}") for c in probe_cols],
     )
     p = probe.select(
         F.col(key).alias("_k"),
         F.col(probe_time).cast("timestamp").alias("_t"),
-        F.lit(1).alias("_side"),
+        F.lit(1 - build_side).alias("_side"),
         *[F.lit(None).cast(t).alias(c) for c, t in build.select(*build_values).dtypes],
         *[F.col(c).alias(f"_p_{c}") for c in probe_cols],
     )
-    # build sorts before probe at equal time → "≤" semantics
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_t", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_t", "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_t", "_side")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
     unioned = b.unionByName(p)
     carried = unioned.select(
         "_side",
         *[F.col(f"_p_{c}").alias(c) for c in probe_cols],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in build_values],
+        *[carry(c).alias(c) for c in build_values],
     )
-    return carried.where(F.col("_side") == 1).drop("_side")
+    return carried.where(F.col("_side") == (1 - build_side)).drop("_side")

@@ -57,6 +57,7 @@ def load_all() -> None:
         olap_breadth2,
         olap_breadth3,
         olap_breadth4,
+        olap_breadth5,
         text_plans,
         vector_plans,
     )

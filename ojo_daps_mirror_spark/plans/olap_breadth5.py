@@ -1,0 +1,210 @@
+"""OLAP breadth, fifth sweep (SURVEY.md §2 B40–B42).
+
+Forward as-of join (the other half of merge_asof), point-in-time join
+against the SCD2 dimension (the feature-store time-travel lookup), and
+Z-order key computation (the multi-dimensional lakehouse sort key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..sources import load_table
+from . import register
+
+# ---------------------------------------------------------------- B40
+
+_B40_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       COALESCE(o.o_orderkey, -1) AS o_orderkey,
+       COALESCE(strftime(o.o_orderdate, '%Y-%m-%d'), 'none') AS o_orderdate
+FROM events e
+ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+ORDER BY e.event_id
+"""
+
+
+@register("as_of_join_forward", oracle=_B40_ORACLE)
+def as_of_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each event, the EARLIEST order of the same user at/after the
+    event time — the forward direction of the as-of operator
+    (operators/asof.py, direction="forward"), verified against
+    DuckDB's native forward ASOF JOIN. Together with B7 this completes
+    the merge_asof surface: "state as of" looks back, "time to next
+    action" looks forward.
+
+    Scale shape: identical to B7 — one key shuffle, one window; the
+    forward form carries the first FOLLOWING build row instead of the
+    last preceding one. No range join, no per-key loop.
+    """
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = asof_join(
+        probe=events,
+        build=orders,
+        key="user_id",
+        build_key="o_custkey",
+        probe_time="ts",
+        build_time="o_orderdate",
+        build_values=["o_orderkey", "o_orderdate"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        # events after a user's last order have no forward match:
+        # sentinel values keep the bigint column NULL-free (NULL bigint
+        # → NaN double in pandas would poison the cross-engine compare)
+        F.coalesce("o_orderkey", F.lit(-1)).alias("o_orderkey"),
+        F.coalesce(
+            F.date_format("o_orderdate", "yyyy-MM-dd"), F.lit("none")
+        ).alias("o_orderdate"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------- B41
+
+_B41_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER w AS prev_type
+  FROM events WHERE event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT user_id, event_type AS state, ts
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+),
+dim AS (
+  SELECT user_id, ts, MAX(state) AS state FROM changes GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       COALESCE(d.state, 'none') AS state_at_purchase
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+ASOF LEFT JOIN dim d ON p.user_id = d.user_id AND d.ts <= p.ts
+ORDER BY p.event_id
+"""
+
+
+@register("point_in_time_join", oracle=_B41_ORACLE)
+def point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) join: each purchase looks up the
+    user's SCD2 state VALID AT the purchase timestamp — the
+    feature-store lookup that prevents label leakage (training features
+    must reflect the state known at event time, never later). The
+    dimension is B22's change log (non-purchase events compressed to
+    state-change rows); validity intervals are implicit in as-of
+    semantics, so no interval join is needed.
+
+    Scale shape: the dimension collapses to change rows first (runs
+    compress — far fewer rows than events), then ONE key-shuffle as-of
+    window joins purchases against it (operators/asof.py). Purchases
+    with no prior state resolve to 'none' instead of NULL.
+    """
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    nonp = events.where(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        nonp.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("state"))
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        probe=purchases,
+        build=changes,
+        key="user_id",
+        probe_time="ts",
+        build_time="ts",
+        build_values=["state"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.coalesce("state", F.lit("none")).alias("state_at_purchase"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------- B42
+
+Z_BITS = 8  # bits per dimension interleaved into the 16-bit Z-value
+
+
+def _z_interleave_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_B42_ORACLE = f"""
+WITH pts AS (
+  SELECT event_id,
+         user_id % 256 AS x,
+         CAST(floor(value) AS BIGINT) % 256 AS y
+  FROM events
+)
+SELECT event_id, x, y,
+       CAST({_z_interleave_sql("x", "y")} AS BIGINT) AS zvalue
+FROM pts
+ORDER BY event_id
+"""
+
+
+@register("zorder_key", oracle=_B42_ORACLE)
+def zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) key: bit-interleave two dimensions into one
+    sort key so that sorting by it clusters BOTH dimensions at once —
+    the multi-dimensional data-layout trick behind lakehouse OPTIMIZE
+    ZORDER BY. Files written in Z-order carry narrow min/max ranges on
+    both columns, so scans filtering on EITHER dimension prune row
+    groups (single-column sort clusters only its own column). The
+    compaction test (tests/test_sources_sinks.py, D11) writes events
+    in this order and asserts the per-file spread of both dimensions
+    shrinks vs insertion order.
+
+    Scale shape: the key is a pure scalar bit expression (map-side,
+    codegen); the layout pass is then an ordinary repartitionByRange +
+    sortWithinPartitions write — one range shuffle, the same cost as
+    any sorted write.
+    """
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    x = (F.col("user_id") % 256).cast("bigint")
+    y = (F.floor("value").cast("bigint") % 256).cast("bigint")
+    z = None
+    for i in range(Z_BITS):
+        bx = F.shiftleft(F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)), 2 * i)
+        by = F.shiftleft(
+            F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        z = bx + by if z is None else z + bx + by
+    return (
+        events.select("event_id", x.alias("x"), y.alias("y"))
+        .select("event_id", "x", "y", z.cast("bigint").alias("zvalue"))
+        .orderBy("event_id")
+    )

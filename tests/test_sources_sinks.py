@@ -231,3 +231,52 @@ def test_text_source_round_trip(spark, sf_dir, tmp_path):
     # each parquet-partition-derived file is one row containing its lines
     n_lines = sum(len(r.value.rstrip("\n").split("\n")) for r in whole.collect())
     assert n_lines == 50
+
+
+def test_compaction_and_zorder_layout(spark, sf_dir, tmp_path):
+    """D11: small-file compaction with Z-order clustering. A fragmented
+    write (many small files, insertion order) is compacted into few
+    files sorted by the Morton key; per-file min/max ranges on BOTH
+    dimensions must shrink — the row-group-pruning benefit the layout
+    exists for."""
+    import glob
+    import os
+
+    from ojo_daps_mirror_spark import plans
+
+    plans.load_all()
+    keyed = plans.QUERIES["zorder_key"](spark, sf_dir)
+
+    frag = str(tmp_path / "fragmented")
+    keyed.repartition(32).write.mode("overwrite").parquet(frag)
+    assert len(glob.glob(f"{frag}/part-*.parquet")) == 32
+
+    compact = str(tmp_path / "compacted")
+    (
+        keyed.repartitionByRange(4, "zvalue")
+        .sortWithinPartitions("zvalue")
+        .write.mode("overwrite")
+        .parquet(compact)
+    )
+    files = glob.glob(f"{compact}/part-*.parquet")
+    assert len(files) == 4
+
+    back = spark.read.parquet(compact)
+    assert back.count() == keyed.count()
+
+    def mean_file_area(path):
+        import pyarrow.parquet as pq
+
+        areas = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            t = pq.read_table(f, columns=["x", "y"])
+            xs, ys = t["x"].to_pylist(), t["y"].to_pylist()
+            if xs:
+                areas.append(
+                    (max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1)
+                )
+        return sum(areas) / len(areas)
+
+    # Z-ordered files must cover a materially smaller (x, y) rectangle
+    # per file than insertion-ordered fragments
+    assert mean_file_area(compact) < 0.5 * mean_file_area(frag)
