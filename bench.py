@@ -104,6 +104,8 @@ BENCH_KEYS: list[str] = [
     "as_of_join_forward",
     "point_in_time_join",
     "zorder_key",
+    "pmi_collocations",
+    "embedding_outliers",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

@@ -50,6 +50,7 @@ def load_all() -> None:
         llm_plans7,
         llm_plans8,
         llm_plans9,
+        llm_plans10,
         misc_plans,
         parity_plans,
         olap,

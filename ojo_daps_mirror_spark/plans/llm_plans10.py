@@ -1,0 +1,197 @@
+"""Tenth sweep (SURVEY.md §2 C58–C59).
+
+PMI collocation mining (the classic corpus-linguistics association
+score) and per-vector embedding outlier scoring (distance-to-centroid
+z-scores — the embedding-space data-quality gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.rounding import round_eps, sql_round
+from ..functions.text import sql_tokens, tokens
+from ..sources import load_table
+from . import register
+
+# ---------------------------------------------------------------- C58
+
+PMI_DOC_VOCAB_CAP = 100  # distinct tokens considered per doc (sorted)
+PMI_MIN_PAIR_DF = 5
+PMI_TOP = 30
+
+_C58_ORACLE = f"""
+WITH capped AS (
+  SELECT doc_id,
+         list_sort(list_distinct({sql_tokens("text")}))[1:{PMI_DOC_VOCAB_CAP}]
+           AS ts
+  FROM documents
+),
+n_docs AS (SELECT COUNT(*) AS n FROM capped),
+ex AS (SELECT doc_id, unnest(ts) AS t FROM capped),
+tok_df AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY t
+),
+pair_df AS (
+  SELECT a.t AS t1, b.t AS t2, CAST(COUNT(*) AS BIGINT) AS df_ab
+  FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY a.t, b.t
+)
+SELECT t1, t2, df_ab, d1.df AS df1, d2.df AS df2,
+       {sql_round(
+           "ln((SELECT n FROM n_docs) * 1.0 * df_ab / (d1.df * d2.df))", 6
+       )} AS pmi
+FROM pair_df
+JOIN tok_df d1 ON d1.t = t1
+JOIN tok_df d2 ON d2.t = t2
+WHERE df_ab >= {PMI_MIN_PAIR_DF}
+ORDER BY pmi DESC, t1, t2
+LIMIT {PMI_TOP}
+"""
+
+
+@register("pmi_collocations", oracle=_C58_ORACLE)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations: token pairs that
+    co-occur in documents far more than independence predicts —
+    PMI = ln(N·df_ab / (df_a·df_b)) — the association score behind
+    phrase detection and the reference's skill-surface-form seeding
+    (labs/skills lexicon construction works from exactly this signal).
+
+    Scale shape: each doc contributes pairs from its SORTED distinct
+    token set, capped at {PMI_DOC_VOCAB_CAP} tokens (bounds the
+    per-doc pair fan-out at C({PMI_DOC_VOCAB_CAP},2) regardless of doc
+    length) and expanded MAP-SIDE — no token-grain self-join. Pair
+    counts combine map-side to pair-vocabulary grain; token df is a
+    tiny broadcast; top-k is a TakeOrderedAndProject. The oracle uses
+    the quadratic self-join form.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    capped = docs.select(
+        "doc_id",
+        F.slice(
+            F.array_sort(F.array_distinct(tokens(F.col("text")))),
+            1,
+            PMI_DOC_VOCAB_CAP,
+        ).alias("ts"),
+    )
+    n_docs = capped.count()
+    ts = F.col("ts")
+    pair_arr = F.flatten(
+        F.transform(
+            ts,
+            lambda x, i: F.transform(
+                F.slice(ts, i + F.lit(2), F.size(ts)),
+                lambda y: F.struct(x.alias("t1"), y.alias("t2")),
+            ),
+        )
+    )
+    pair_df = (
+        capped.select(F.explode(pair_arr).alias("p"))
+        .select("p.t1", "p.t2")
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("df_ab"))
+        .where(F.col("df_ab") >= PMI_MIN_PAIR_DF)
+    )
+    tok_df = (
+        capped.select(F.explode("ts").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    d1 = tok_df.select(F.col("t").alias("t1"), F.col("df").alias("df1"))
+    d2 = tok_df.select(F.col("t").alias("t2"), F.col("df").alias("df2"))
+    pmi = F.log(
+        F.lit(float(n_docs)) * F.col("df_ab") / (F.col("df1") * F.col("df2"))
+    )
+    return (
+        pair_df.join(F.broadcast(d1), "t1")
+        .join(F.broadcast(d2), "t2")
+        .select("t1", "t2", "df_ab", "df1", "df2", round_eps(pmi, 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("t1"), F.asc("t2"))
+        .limit(PMI_TOP)
+    )
+
+
+# ---------------------------------------------------------------- C59
+
+OUTLIER_Z = 2.0
+
+_C59_ORACLE = f"""
+WITH dims AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+mu AS (
+  SELECT label, dim, AVG(v) AS mu FROM dims GROUP BY label, dim
+),
+dist AS (
+  SELECT d.vec_id, d.label,
+         SUM((d.v - mu.mu) * (d.v - mu.mu)) AS sqdist
+  FROM dims d JOIN mu ON d.label = mu.label AND d.dim = mu.dim
+  GROUP BY d.vec_id, d.label
+),
+scored AS (
+  SELECT vec_id, label, sqdist,
+         AVG(sqdist) OVER (PARTITION BY label) AS m,
+         STDDEV_SAMP(sqdist) OVER (PARTITION BY label) AS s
+  FROM dist
+)
+SELECT vec_id, label,
+       {sql_round("sqdist", 4)} AS sqdist,
+       {sql_round("(sqdist - m) / s", 4)} AS z_score,
+       CASE WHEN (sqdist - m) / s > {OUTLIER_Z} THEN 1 ELSE 0 END AS is_outlier
+FROM scored
+ORDER BY vec_id
+"""
+
+
+@register("embedding_outliers", oracle=_C59_ORACLE)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector embedding outlier scoring: squared distance to the
+    label centroid, z-scored within the label, flagged above
+    {OUTLIER_Z}σ — the embedding-space data-quality gate
+    (mislabeled/corrupted items sit far from their cluster), the
+    per-row companion to C48's cluster aggregates.
+
+    Scale shape: centroids are a (label, dim)-grain map-side-combined
+    aggregate (|labels|·dim rows — tiny) BROADCAST back onto the
+    exploded vector stream, so per-vector distances are map-side after
+    one explode; the z-normalisation windows run at label grain over
+    per-vector scalars. Nothing pairwise anywhere.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "v"),
+    ).select("vec_id", "label", (F.col("dim0") + 1).alias("dim"), "v")
+    mu = dims.groupBy("label", "dim").agg(F.avg("v").alias("mu"))
+    dist = (
+        dims.join(F.broadcast(mu), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("v") - F.col("mu")) * (F.col("v") - F.col("mu"))).alias(
+                "sqdist"
+            )
+        )
+    )
+    w = Window.partitionBy("label")
+    scored = dist.select(
+        "vec_id",
+        "label",
+        "sqdist",
+        F.avg("sqdist").over(w).alias("m"),
+        F.stddev_samp("sqdist").over(w).alias("s"),
+    )
+    z = (F.col("sqdist") - F.col("m")) / F.col("s")
+    return scored.select(
+        "vec_id",
+        "label",
+        round_eps(F.col("sqdist"), 4).alias("sqdist"),
+        round_eps(z, 4).alias("z_score"),
+        F.when(z > OUTLIER_Z, 1).otherwise(0).alias("is_outlier"),
+    ).orderBy("vec_id")

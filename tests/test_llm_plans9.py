@@ -105,3 +105,39 @@ def test_approx_heavy_hitters_single_aggregate_no_gram_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "heavy_hitters_approx")
     # one global sketch aggregate: no gram-grain hash partitioning
     assert "hashpartitioning(gram" not in plan
+
+
+# ---------------------------------------------------------------- C58/C59
+
+
+def test_pmi_pairs_verified_manually(spark, sf_dir):
+    from ojo_daps_mirror_spark.sources import load_table
+    import math
+
+    rows = plans.QUERIES["pmi_collocations"](spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents").collect()
+    sets = [sorted(set(r.text.split()))[:100] for r in docs]
+    n = len(sets)
+    for r in rows[:5]:
+        df1 = sum(1 for s in sets if r.t1 in s)
+        df2 = sum(1 for s in sets if r.t2 in s)
+        df_ab = sum(1 for s in sets if r.t1 in s and r.t2 in s)
+        assert (df1, df2, df_ab) == (r.df1, r.df2, r.df_ab)
+        assert abs(r.pmi - math.log(n * df_ab / (df1 * df2))) < 1e-4
+
+
+def test_embedding_outliers_zscores_standardised(spark, sf_dir):
+    import statistics
+
+    rows = plans.QUERIES["embedding_outliers"](spark, sf_dir).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+    for label, rs in by_label.items():
+        zs = [r.z_score for r in rs]
+        # standardised within the label: mean ~0, std ~1
+        assert abs(statistics.mean(zs)) < 1e-2
+        assert abs(statistics.stdev(zs) - 1.0) < 1e-2
+        for r in rs:
+            assert r.is_outlier == (1 if r.z_score > 2.0 else 0)
