@@ -106,6 +106,7 @@ BENCH_KEYS: list[str] = [
     "zorder_key",
     "pmi_collocations",
     "embedding_outliers",
+    "dataset_diff",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

@@ -1,8 +1,8 @@
-"""Tenth sweep (SURVEY.md §2 C58–C59).
+"""Tenth sweep (SURVEY.md §2 C58–C60).
 
 PMI collocation mining (the classic corpus-linguistics association
 score) and per-vector embedding outlier scoring (distance-to-centroid
-z-scores — the embedding-space data-quality gate).
+z-scores) and the dataset-version diff primitive.
 """
 
 from __future__ import annotations
@@ -195,3 +195,75 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_eps(z, 4).alias("z_score"),
         F.when(z > OUTLIER_Z, 1).otherwise(0).alias("is_outlier"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------- C60
+
+DIFF_OLD_MOD = 10  # doc_id % 10 == 7 is absent from the "old" snapshot
+DIFF_OLD_REM = 7
+
+_C60_ORACLE = f"""
+WITH new AS (
+  SELECT doc_id, md5(text) AS h, lang FROM documents
+),
+old AS (
+  -- the prior snapshot: the probe batch absent, one field drifted
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 97 = 0 THEN text || ' [stale]'
+                  ELSE text END) AS h
+  FROM documents WHERE doc_id % {DIFF_OLD_MOD} <> {DIFF_OLD_REM}
+)
+SELECT COALESCE(new.doc_id, old.doc_id) AS doc_id,
+       CASE WHEN old.doc_id IS NULL THEN 'added'
+            WHEN new.doc_id IS NULL THEN 'removed'
+            WHEN new.h <> old.h THEN 'changed'
+            ELSE 'unchanged' END AS change
+FROM new FULL OUTER JOIN old USING (doc_id)
+WHERE NOT (new.doc_id IS NOT NULL AND old.doc_id IS NOT NULL
+           AND new.h = old.h)
+ORDER BY doc_id
+"""
+
+
+@register("dataset_diff", oracle=_C60_ORACLE)
+def dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff: added / removed / changed rows between two
+    corpus snapshots, compared by CONTENT HASH so a full-row compare
+    never ships row bodies through the join — the data-versioning
+    primitive behind reproducible training-set releases (what changed
+    between corpus v1 and v2). The "old" snapshot is derived
+    deterministically (the doc_id%10==7 batch absent, every 97th doc's
+    text drifted) so both engines diff identical inputs.
+
+    Scale shape: each side reduces to (key, 64-bit-hash) map-side; ONE
+    full-outer shuffle join on the key; unchanged rows — the vast
+    majority between adjacent versions — are filtered immediately
+    after the join so only the delta survives to output.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.select("doc_id", F.md5("text").alias("h"))
+    old = (
+        docs.where(F.col("doc_id") % DIFF_OLD_MOD != DIFF_OLD_REM)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 97 == 0, F.concat(F.col("text"), F.lit(" [stale]"))
+                ).otherwise(F.col("text"))
+            ).alias("h"),
+        )
+    )
+    n = new.select(F.col("doc_id"), F.col("h").alias("h_new"))
+    o = old.select(F.col("doc_id"), F.col("h").alias("h_old"))
+    joined = n.join(o, "doc_id", "full_outer")
+    change = (
+        F.when(F.col("h_old").isNull(), "added")
+        .when(F.col("h_new").isNull(), "removed")
+        .when(F.col("h_new") != F.col("h_old"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select("doc_id", change.alias("change"))
+        .where(F.col("change") != "unchanged")
+        .orderBy("doc_id")
+    )

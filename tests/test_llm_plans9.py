@@ -141,3 +141,25 @@ def test_embedding_outliers_zscores_standardised(spark, sf_dir):
         assert abs(statistics.stdev(zs) - 1.0) < 1e-2
         for r in rs:
             assert r.is_outlier == (1 if r.z_score > 2.0 else 0)
+
+
+def test_dataset_diff_partitions(spark, sf_dir):
+    from ojo_daps_mirror_spark.plans.llm_plans10 import DIFF_OLD_MOD, DIFF_OLD_REM
+    from ojo_daps_mirror_spark.sources import load_table
+
+    rows = plans.QUERIES["dataset_diff"](spark, sf_dir).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.change, set()).add(r.doc_id)
+    docs = {r.doc_id for r in load_table(spark, sf_dir, "documents").collect()}
+    # added = exactly the batch absent from the old snapshot
+    assert by.get("added", set()) == {
+        d for d in docs if d % DIFF_OLD_MOD == DIFF_OLD_REM
+    }
+    # changed = the drifted rows still present in both
+    assert by.get("changed", set()) == {
+        d for d in docs if d % 97 == 0 and d % DIFF_OLD_MOD != DIFF_OLD_REM
+    }
+    # nothing removed in this synthetic pair, and no overlap
+    assert "removed" not in by
+    assert not (by.get("added", set()) & by.get("changed", set()))
