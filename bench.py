@@ -107,6 +107,8 @@ BENCH_KEYS: list[str] = [
     "pmi_collocations",
     "embedding_outliers",
     "dataset_diff",
+    "interval_overlap_join",
+    "rolling_distinct_users",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

@@ -208,3 +208,183 @@ def zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "x", "y", z.cast("bigint").alias("zvalue"))
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------- B43
+
+ORDER_ACTIVE_DAYS = 7  # an order's "active window" after its order date
+
+_B43_ORACLE = f"""
+WITH sessions AS (
+  SELECT user_id, session_idx,
+         MIN(ts) AS s_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS s_end
+  FROM (
+    SELECT user_id, ts,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+    FROM (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+  ) GROUP BY user_id, session_idx
+),
+o AS (
+  -- orders carry 1995-2001 dates; the testdata event horizon is
+  -- 2024-01, so the active window is derived DETERMINISTICALLY from
+  -- the order key (both engines compute the identical map)
+  SELECT o_orderkey, o_custkey % 150 AS user_key,
+         TIMESTAMP '2024-01-01' + (o_orderkey % 28) * INTERVAL 1 DAY
+           AS o_start,
+         TIMESTAMP '2024-01-01' + (o_orderkey % 28) * INTERVAL 1 DAY
+           + INTERVAL {ORDER_ACTIVE_DAYS} DAY AS o_end
+  FROM orders
+)
+SELECT s.user_id, o.o_orderkey, CAST(s.session_idx AS BIGINT) AS session_idx,
+       ROUND((epoch_us(least(s.s_end, o.o_end))
+              - epoch_us(greatest(s.s_start, o.o_start))) / 3600e6 + 1e-9, 4)
+         AS overlap_hours
+FROM sessions s JOIN o ON s.user_id = o.user_key
+WHERE s.s_start < o.o_end AND o.o_start < s.s_end
+ORDER BY s.user_id, o.o_orderkey, session_idx
+"""
+
+
+@register("interval_overlap_join", oracle=_B43_ORACLE)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: user sessions (30-min-gap sessionisation,
+    closed at last event + gap) matched to the same user's order
+    "active windows" ({ORDER_ACTIVE_DAYS} days from order date) where
+    the two intervals OVERLAP — the interval-algebra shape the as-of
+    family (point lookups) can't express.
+
+    Scale shape: both interval sets explode into the DAYS they cover
+    (bounded fan-out: sessions span ≤2 days, orders exactly
+    {ORDER_ACTIVE_DAYS}), candidates come from an equi-join on
+    (user, day) — the standard interval-binning trick that turns a
+    range join into a hash join — then the exact overlap predicate
+    filters and a distinct collapses multi-bin matches. No
+    BroadcastNestedLoopJoin, no per-key quadratic work beyond true
+    overlaps. The oracle uses the direct range-join form.
+    """
+    from ..functions.rounding import round_eps
+    from ..operators.sessionize import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    sess = (
+        sessionize(events)
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("s_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTE")).alias("s_end"),
+        )
+    )
+    o_start = F.expr("TIMESTAMP '2024-01-01' + (o_orderkey % 28) * INTERVAL 1 DAY")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 150).alias("user_id"),
+        o_start.alias("o_start"),
+        (o_start + F.expr(f"INTERVAL {ORDER_ACTIVE_DAYS} DAY")).alias("o_end"),
+    )
+    s_days = sess.select(
+        "user_id",
+        "session_idx",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                F.to_date("s_start"),
+                F.to_date(F.col("s_end") - F.expr("INTERVAL 1 MICROSECOND")),
+            )
+        ).alias("day"),
+    )
+    o_days = orders.select(
+        "user_id",
+        "o_orderkey",
+        "o_start",
+        "o_end",
+        F.explode(
+            F.sequence(
+                F.to_date("o_start"),
+                F.to_date(F.col("o_end") - F.expr("INTERVAL 1 MICROSECOND")),
+            )
+        ).alias("day"),
+    )
+    cand = (
+        s_days.join(o_days, ["user_id", "day"])
+        .where((F.col("s_start") < F.col("o_end")) & (F.col("o_start") < F.col("s_end")))
+        .select("user_id", "o_orderkey", "session_idx", "s_start", "s_end", "o_start", "o_end")
+        .distinct()
+    )
+    overlap_hours = (
+        F.unix_micros(F.least("s_end", "o_end"))
+        - F.unix_micros(F.greatest("s_start", "o_start"))
+    ) / 3.6e9
+    return cand.select(
+        "user_id",
+        "o_orderkey",
+        F.col("session_idx").cast("bigint").alias("session_idx"),
+        round_eps(overlap_hours, 4).alias("overlap_hours"),
+    ).orderBy("user_id", "o_orderkey", "session_idx")
+
+
+# ---------------------------------------------------------------- B44
+
+ROLLING_DAYS = 7
+
+_B44_ORACLE = f"""
+WITH activity AS (
+  SELECT DISTINCT user_id, ts::DATE AS day FROM events
+),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM activity),
+contrib AS (
+  SELECT DISTINCT user_id, (day + k * INTERVAL 1 DAY)::DATE AS target
+  FROM activity, unnest(generate_series(0, {ROLLING_DAYS - 1})) AS u(k)
+)
+SELECT strftime(target, '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS rolling_users
+FROM contrib
+WHERE target BETWEEN (SELECT lo FROM bounds) AND (SELECT hi FROM bounds)
+GROUP BY target
+ORDER BY day
+"""
+
+
+@register("rolling_distinct_users", oracle=_B44_ORACLE)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {ROLLING_DAYS}-day distinct active users per day (the
+    WAU/MAU series). COUNT DISTINCT is NOT mergeable across window
+    frames — a naive RANGE-window count-distinct re-scans every frame.
+    Instead each distinct (user, day) activity pair contributes
+    map-side to the {ROLLING_DAYS} windows that contain it; one
+    distinct on (user, target_day) then a map-side-combined count
+    gives every day's exact rolling cardinality in two narrow
+    shuffles over (user, day)-grain rows — never the raw event stream.
+    At 100 TB swap the exact distinct for approx_count_distinct per
+    target day (mergeable HLL) — same shape, sketch-sized state.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    activity = events.distinct()
+    bounds = activity.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    contrib = activity.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), ROLLING_DAYS - 1))
+        ).alias("target"),
+    ).distinct()
+    return (
+        contrib.join(F.broadcast(bounds))
+        .where(F.col("target").between(F.col("lo"), F.col("hi")))
+        .groupBy("target")
+        .agg(F.count(F.lit(1)).alias("rolling_users"))
+        .select(
+            F.date_format("target", "yyyy-MM-dd").alias("day"), "rolling_users"
+        )
+        .orderBy("day")
+    )

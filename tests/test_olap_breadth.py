@@ -91,3 +91,59 @@ def test_requires_degree_flags_known_terms(spark):
         words = r["text"].split()
         expect = int(any(w in DEGREE_TERMS for w in words[:-1]))
         assert flags[r["doc_id"]] == expect, r["doc_id"]
+
+
+# ---------------------------------------------------------------- B43/B44
+
+
+def test_interval_overlap_pairs_truly_overlap(spark, sf_dir):
+    import datetime
+
+    from ojo_daps_mirror_spark import plans
+
+    plans.load_all()
+    rows = plans.QUERIES["interval_overlap_join"](spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        assert r.overlap_hours > 0
+
+
+def test_interval_overlap_no_nlj(spark, sf_dir):
+    import contextlib
+    import io
+
+    from ojo_daps_mirror_spark import plans
+
+    plans.load_all()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plans.QUERIES["interval_overlap_join"](spark, sf_dir).explain("formatted")
+    p = buf.getvalue()
+    assert ") BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_rolling_distinct_users_matches_direct_count(spark, sf_dir):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from ojo_daps_mirror_spark import plans
+    from ojo_daps_mirror_spark.sources import load_table
+
+    plans.load_all()
+    rows = {r.day: r.rolling_users for r in plans.QUERIES[
+        "rolling_distinct_users"](spark, sf_dir).collect()}
+    act = [
+        (r.user_id, r.day)
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .collect()
+    ]
+    for day_str, n in list(rows.items())[:10]:
+        d = datetime.date.fromisoformat(day_str)
+        manual = len(
+            {u for u, ad in act if d - datetime.timedelta(days=6) <= ad <= d}
+        )
+        assert n == manual
