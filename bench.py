@@ -109,6 +109,7 @@ BENCH_KEYS: list[str] = [
     "dataset_diff",
     "interval_overlap_join",
     "rolling_distinct_users",
+    "two_hop_candidates",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

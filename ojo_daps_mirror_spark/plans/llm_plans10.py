@@ -267,3 +267,90 @@ def dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("change") != "unchanged")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------- C61
+
+_C61_ORACLE = f"""
+WITH edges AS ({{c52}}),
+sym AS (
+  SELECT u1, u2 FROM edges
+  UNION
+  SELECT u2 AS u1, u1 AS u2 FROM edges
+),
+deg AS (
+  SELECT u1 AS u, CAST(COUNT(DISTINCT u2) AS BIGINT) AS n_1hop
+  FROM sym GROUP BY u1
+),
+two AS (
+  SELECT DISTINCT a.u1 AS u, b.u2 AS v
+  FROM sym a JOIN sym b ON a.u2 = b.u1
+  WHERE b.u2 <> a.u1
+    AND NOT EXISTS (SELECT 1 FROM sym s WHERE s.u1 = a.u1 AND s.u2 = b.u2)
+)
+SELECT deg.u AS user_id, deg.n_1hop,
+       CAST(COALESCE(t.n2, 0) AS BIGINT) AS n_2hop_new
+FROM deg LEFT JOIN (
+  SELECT u, COUNT(*) AS n2 FROM two GROUP BY u
+) t ON t.u = deg.u
+ORDER BY user_id
+"""
+
+
+def _c61_oracle() -> str:
+    from .llm_plans8 import _C52_ORACLE
+
+    return _C61_ORACLE.format(c52=_C52_ORACLE)
+
+
+@register("two_hop_candidates", oracle=_c61_oracle())
+def two_hop_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friend-of-friend candidate generation on the behavioral
+    similarity graph (C52's edges): per user, the direct-neighbor count
+    and the number of NEW nodes reachable in exactly two hops — the
+    link-prediction / recommendation candidate pool (two-hop closure is
+    where collaborative signals live).
+
+    Scale shape: the classic two-join closure — symmetrised edges,
+    one self-join on the middle vertex (degree-bound work, AQE splits
+    hubs), direct neighbors removed with a LEFT ANTI join (never a
+    per-row EXISTS), distinct at (u, v) grain, counts map-side
+    combined. Triangle counting (C55) is the closed form of the same
+    join; this is the open form.
+    """
+    edges = plans_edges_c52(spark, sf_dir).select("u1", "u2")
+    sym = edges.union(
+        edges.select(F.col("u2").alias("u1"), F.col("u1").alias("u2"))
+    ).distinct().persist()
+    deg = sym.groupBy(F.col("u1").alias("u")).agg(
+        F.count_distinct("u2").alias("n_1hop")
+    )
+    a = sym.select(F.col("u1").alias("u"), F.col("u2").alias("mid"))
+    b = sym.select(F.col("u1").alias("mid"), F.col("u2").alias("v"))
+    two = (
+        a.join(b, "mid")
+        .where(F.col("v") != F.col("u"))
+        .select("u", "v")
+        .distinct()
+        .join(
+            sym.select(F.col("u1").alias("u"), F.col("u2").alias("v")),
+            ["u", "v"],
+            "left_anti",
+        )
+    )
+    n2 = two.groupBy("u").agg(F.count(F.lit(1)).alias("n2"))
+    return (
+        deg.join(n2, "u", "left")
+        .select(
+            F.col("u").alias("user_id"),
+            F.col("n_1hop").cast("bigint").alias("n_1hop"),
+            F.coalesce("n2", F.lit(0)).cast("bigint").alias("n_2hop_new"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def plans_edges_c52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import QUERIES
+
+    return QUERIES["user_behavior_similarity"](spark, sf_dir)

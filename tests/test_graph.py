@@ -94,3 +94,28 @@ def test_label_propagation_two_cliques(spark):
         "a": "a", "b": "a", "c": "a",
         "x": "x", "y": "x", "z": "x",
     }
+
+
+def test_two_hop_candidates_manual(spark, sf_dir):
+    from ojo_daps_mirror_spark import plans
+
+    plans.load_all()
+    edges = {
+        (r.u1, r.u2)
+        for r in plans.QUERIES["user_behavior_similarity"](spark, sf_dir).collect()
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = plans.QUERIES["two_hop_candidates"](spark, sf_dir).collect()
+    got = {r.user_id: (r.n_1hop, r.n_2hop_new) for r in rows}
+    manual = {}
+    for u, nbrs in adj.items():
+        two = set()
+        for w in nbrs:
+            two |= adj.get(w, set())
+        two -= {u}
+        two -= nbrs
+        manual[u] = (len(nbrs), len(two))
+    assert got == manual

@@ -280,3 +280,34 @@ def test_compaction_and_zorder_layout(spark, sf_dir, tmp_path):
     # Z-ordered files must cover a materially smaller (x, y) rectangle
     # per file than insertion-ordered fragments
     assert mean_file_area(compact) < 0.5 * mean_file_area(frag)
+
+
+def test_schema_evolution_merge(spark, sf_dir, tmp_path):
+    """D12: parquet schema evolution. A v2 writer adds a column; a
+    mergeSchema read unifies the layouts with NULLs for v1 rows — the
+    lake contract that lets producers evolve without rewriting
+    history."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    path = str(tmp_path / "evolving")
+    v1 = docs.select("doc_id", "lang")
+    v1.write.parquet(f"{path}/batch=1")
+    v2 = docs.select("doc_id", "lang", F.length("text").alias("text_len"))
+    v2.write.parquet(f"{path}/batch=2")
+
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    assert {f.name for f in merged.schema.fields} == {
+        "doc_id",
+        "lang",
+        "text_len",
+        "batch",
+    }
+    assert merged.count() == 80
+    # v1 rows surface the evolved column as NULL, v2 rows carry values
+    assert merged.where(F.col("batch") == 1).where(
+        F.col("text_len").isNotNull()
+    ).count() == 0
+    assert merged.where(F.col("batch") == 2).where(
+        F.col("text_len").isNull()
+    ).count() == 0
