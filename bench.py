@@ -110,6 +110,7 @@ BENCH_KEYS: list[str] = [
     "interval_overlap_join",
     "rolling_distinct_users",
     "two_hop_candidates",
+    "rfm_features",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

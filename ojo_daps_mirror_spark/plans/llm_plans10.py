@@ -354,3 +354,89 @@ def plans_edges_c52(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import QUERIES
 
     return QUERIES["user_behavior_similarity"](spark, sf_dir)
+
+
+# ---------------------------------------------------------------- C62
+
+RFM_BINS = 5
+
+_C62_ORACLE = f"""
+WITH purchases AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+horizon AS (SELECT MAX(ts) AS now FROM purchases),
+rfm AS (
+  SELECT user_id,
+         CAST(date_diff('day', MAX(ts), (SELECT now FROM horizon))
+              AS BIGINT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         ROUND(SUM(value) + 1e-9, 4) AS monetary
+  FROM purchases GROUP BY user_id
+)
+SELECT user_id, recency_days, frequency, monetary,
+       CAST(NTILE({RFM_BINS}) OVER (ORDER BY recency_days, user_id)
+            AS BIGINT) AS r_score,
+       CAST(NTILE({RFM_BINS}) OVER (ORDER BY frequency DESC, user_id)
+            AS BIGINT) AS f_score,
+       CAST(NTILE({RFM_BINS}) OVER (ORDER BY monetary DESC, user_id)
+            AS BIGINT) AS m_score
+FROM rfm
+ORDER BY user_id
+"""
+
+
+@register("rfm_features", oracle=_C62_ORACLE)
+def rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM feature build: per-user recency (days since last purchase,
+    relative to the corpus horizon), frequency and monetary totals,
+    each quintile-scored with NTILE — the canonical behavioral feature
+    block (score 1 = most recent / most frequent / highest spend;
+    user_id tie-break keeps the binning deterministic cross-engine).
+
+    Scale shape: the log collapses to user grain in one
+    map-side-combined aggregate; the horizon attaches as a broadcast
+    scalar; the three NTILEs are global windows over user-grain rows —
+    at 100 TB swap for approx_percentile cut-points broadcast onto a
+    map-side CASE (same documented switch as C43). Feature-store
+    ready: deterministic, point-in-time safe (horizon-relative).
+    """
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    horizon = purchases.agg(F.max("ts").alias("now"))
+    rfm = (
+        purchases.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value") + 1e-9, 4).alias("monetary"),
+        )
+        .join(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("now"), F.to_date("last_ts"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return rfm.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(RFM_BINS)
+        .over(Window.orderBy("recency_days", "user_id"))
+        .cast("bigint")
+        .alias("r_score"),
+        F.ntile(RFM_BINS)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
+        .cast("bigint")
+        .alias("f_score"),
+        F.ntile(RFM_BINS)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("user_id")))
+        .cast("bigint")
+        .alias("m_score"),
+    ).orderBy("user_id")

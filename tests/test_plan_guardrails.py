@@ -66,6 +66,8 @@ BNLJ_OK = {
     "ngram_jaccard",  # broadcast pair frame in verify
     "user_behavior_similarity",  # broadcast pair frame in verify
     "hybrid_search_rrf",  # broadcast 1-row df-count + query-vector attaches
+    "rolling_distinct_users",  # broadcast 1-row calendar-bounds attach
+    "rfm_features",  # broadcast 1-row horizon-scalar attach
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
