@@ -111,6 +111,9 @@ BENCH_KEYS: list[str] = [
     "rolling_distinct_users",
     "two_hop_candidates",
     "rfm_features",
+    "semi_additive_balance",
+    "event_transition_matrix",
+    "lang_id_confusion",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

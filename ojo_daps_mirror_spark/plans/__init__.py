@@ -59,6 +59,7 @@ def load_all() -> None:
         olap_breadth3,
         olap_breadth4,
         olap_breadth5,
+        olap_breadth6,
         text_plans,
         vector_plans,
     )

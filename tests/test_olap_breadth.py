@@ -147,3 +147,61 @@ def test_rolling_distinct_users_matches_direct_count(spark, sf_dir):
             {u for u, ad in act if d - datetime.timedelta(days=6) <= ad <= d}
         )
         assert n == manual
+
+
+# ---------------------------------------------------------------- B45/B46/C63
+
+
+def test_semi_additive_balance_is_closing_not_sum(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ojo_daps_mirror_spark import plans
+    from ojo_daps_mirror_spark.sources import load_table
+
+    plans.load_all()
+    rows = plans.QUERIES["semi_additive_balance"](spark, sf_dir).collect()
+    # the LAST week's total must equal the sum of every active-that-week
+    # user's full running balance (cumulative over all history)
+    events = load_table(spark, sf_dir, "events").collect()
+    events.sort(key=lambda e: (e.ts, e.event_id))
+    bal, last_week_balance = {}, {}
+    import datetime
+
+    def week_of(ts):
+        d = ts.date()
+        return (d - datetime.timedelta(days=d.weekday())).isoformat()
+
+    per_week_close = {}
+    for ev in events:
+        bal[ev.user_id] = bal.get(ev.user_id, 0.0) + ev.value
+        per_week_close.setdefault(week_of(ev.ts), {})[ev.user_id] = bal[ev.user_id]
+    for r in rows:
+        manual = per_week_close[r.week]
+        assert r.n_active_users == len(manual)
+        assert abs(r.total_closing_balance - sum(manual.values())) < 1e-2
+
+
+def test_transition_matrix_rows_normalise(spark, sf_dir):
+    from ojo_daps_mirror_spark import plans
+
+    plans.load_all()
+    rows = plans.QUERIES["event_transition_matrix"](spark, sf_dir).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r.prob)
+    for probs in by_from.values():
+        assert abs(sum(probs) - 1.0) < 1e-4
+
+
+def test_lang_confusion_diagonal_dominates(spark, sf_dir):
+    from ojo_daps_mirror_spark import plans
+
+    plans.load_all()
+    rows = plans.QUERIES["lang_id_confusion"](spark, sf_dir).collect()
+    by_true = {}
+    for r in rows:
+        by_true.setdefault(r.true_lang, {})[r.pred_lang] = r.share_of_true
+        assert 0.0 < r.share_of_true <= 1.0
+    # shares per true language sum to 1
+    for shares in by_true.values():
+        assert abs(sum(shares.values()) - 1.0) < 1e-4
