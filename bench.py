@@ -114,6 +114,16 @@ BENCH_KEYS: list[str] = [
     "semi_additive_balance",
     "event_transition_matrix",
     "lang_id_confusion",
+    "jaccard_prefix_filter",
+    "last_touch_attribution",
+    "item_cooccurrence",
+    "ewma_weekly_volume",
+    "record_linkage",
+    "incremental_stock_refresh",
+    "seasonal_decompose",
+    "benford_profile",
+    "knn_label_eval",
+    "link_prediction_jaccard",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

@@ -71,6 +71,20 @@ def weekly_stock(
         *group_cols, F.explode(live_mondays(F.col(date_col))).alias("week")
     )
     stock = live.groupBy("week", *group_cols).agg(F.count(F.lit(1)).alias("stock"))
+    return fill_and_index(stock, weeks, group_cols)
+
+
+def fill_and_index(
+    stock: DataFrame, weeks: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Zero-fill + index a pre-aggregated (week, *group_cols, stock)
+    frame over the given week dimension — the finishing stage of
+    ``weekly_stock``, shared with the incremental-refresh path (which
+    merges a maintained count state with a delta before finishing).
+    ``stock`` is ~|weeks|×|groups| rows, so everything here is
+    dimension-scale.
+    """
+    group_cols = group_cols or []
 
     # Zero-fill missing (week, group) cells so indexes are well-defined.
     # The group dimension comes from the POST-AGGREGATION stock frame,

@@ -51,6 +51,9 @@ def load_all() -> None:
         llm_plans8,
         llm_plans9,
         llm_plans10,
+        llm_plans11,
+        llm_plans12,
+        llm_plans13,
         misc_plans,
         parity_plans,
         olap,

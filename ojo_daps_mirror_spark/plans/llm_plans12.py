@@ -1,0 +1,327 @@
+"""Twelfth sweep (SURVEY.md §2 A39, B48, C66–C67).
+
+Incremental materialised-view maintenance of the weekly stock, EWMA
+smoothing of the weekly series via an identical-fold formulation,
+blocked record linkage (entity resolution) on the customer dimension,
+and neighbor-set Jaccard link prediction on the behavioral graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.rounding import round_eps, sql_round
+from ..operators.snapshot import fill_and_index, live_mondays, monday_of
+from ..sources import load_table
+from . import register
+from .jobs_observatory import _A1_ORACLE
+from .llm_plans10 import plans_edges_c52
+
+# ---------------------------------------------------------------- A39
+
+BATCH_MOD = 8  # orders with md5-bucket == 0 are the "new batch"
+
+
+@register("incremental_stock_refresh", oracle=_A1_ORACLE)
+def incremental_stock_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the A1 weekly-stock aggregate — the
+    100 TB answer to the reference's nightly full recompute
+    (flows/aggregate/weekly_stock.py re-reads every ad per run).
+
+    The maintained state is the pre-index count frame: (week, stock)
+    partials plus the (wmin, wmax) date bounds — both mergeable. A new
+    batch (here the deterministic md5-bucket-0 slice of orders, standing
+    in for "yesterday's ads") contributes ONLY its own map-side
+    live-Monday explode + a batch-local aggregate; the merge is a
+    |weeks|-row full-outer sum, and the index re-derives on the merged
+    dimension-scale frame. Nothing rescans the base fact table's rows at
+    refresh time beyond the (persisted-in-production) count state.
+
+    Correctness contract: the result must be INDISTINGUISHABLE from the
+    full recompute, so the oracle is A1's, verbatim. The week dimension
+    must come from the merged DATE bounds (not the merged count frame):
+    a mid-week global min date means the first calendar Monday has stock
+    0 but still enters the 4-week index window.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").alias("d"),
+        (F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 6), 16, 10)
+         .cast("bigint") % BATCH_MOD == 0).alias("is_batch"),
+    )
+    base = orders.where(~F.col("is_batch"))
+    batch = orders.where(F.col("is_batch"))
+
+    def counts(df: DataFrame) -> DataFrame:
+        live = df.select(F.explode(live_mondays(F.col("d"))).alias("week"))
+        return live.groupBy("week").agg(F.count(F.lit(1)).alias("stock"))
+
+    def bounds(df: DataFrame) -> DataFrame:
+        return df.agg(
+            monday_of(F.min("d")).alias("wmin"), monday_of(F.max("d")).alias("wmax")
+        )
+
+    # state ⊕ delta: mergeable counts and mergeable bounds
+    merged = (
+        counts(base)
+        .join(counts(batch).withColumnRenamed("stock", "d_stock"), "week", "full")
+        .select(
+            "week",
+            (F.coalesce("stock", F.lit(0)) + F.coalesce("d_stock", F.lit(0))).alias(
+                "stock"
+            ),
+        )
+    )
+    mb = (
+        bounds(base)
+        .unionByName(bounds(batch))
+        .agg(F.min("wmin").alias("wmin"), F.max("wmax").alias("wmax"))
+    )
+    weeks = mb.select(
+        F.explode(F.sequence("wmin", "wmax", F.expr("interval 7 days"))).alias("week")
+    )
+    return fill_and_index(merged, weeks)
+
+
+# ---------------------------------------------------------------- B48
+
+EWMA_ALPHA = 0.3
+
+_B48_ORACLE = f"""
+WITH weekly AS (
+  SELECT date_trunc('week', o_orderdate)::DATE AS week, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+folded AS (
+  SELECT week, n_orders,
+         list(CAST(n_orders AS DOUBLE)) OVER (
+           ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS xs
+  FROM weekly
+)
+SELECT strftime(week, '%Y-%m-%d') AS week, n_orders,
+       {sql_round(
+           f"list_reduce(xs, (acc, x) -> {1 - EWMA_ALPHA} * acc"
+           f" + {EWMA_ALPHA} * x)", 6)} AS ewma
+FROM folded ORDER BY week
+"""
+
+
+@register("ewma_weekly_volume", oracle=_B48_ORACLE)
+def ewma_weekly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA-smoothed weekly order volume (the monitoring-series
+    smoother: y_i = (1-α)·y_{i-1} + α·x_i, y_0 = x_0 — pandas
+    ewm(adjust=False) semantics).
+
+    A recursive filter has no mergeable frame form, but the corpus
+    reduces to |weeks| rows in ONE map-side-combined aggregate first,
+    so the recurrence runs on a dimension-scale frame: a running
+    collect_list window + one sequential fold per row. Both engines
+    fold the identical list in the identical order, so the doubles are
+    bit-equal — the oracle is the same fold via list_reduce, not a
+    re-derivation. (At 100 TB the weekly grain is still |weeks| rows;
+    the fact-side aggregate is the only data-volume stage.)
+    """
+    weekly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(monday_of(F.col("o_orderdate")).alias("week"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.orderBy("week").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    xs = F.collect_list(F.col("n_orders").cast("double")).over(w)
+    fold = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.element_at(F.col("xs"), 1),
+        lambda acc, x: F.lit(1 - EWMA_ALPHA) * acc + F.lit(EWMA_ALPHA) * x,
+    )
+    return (
+        weekly.withColumn("xs", xs)
+        .select(
+            F.date_format("week", "yyyy-MM-dd").alias("week"),
+            "n_orders",
+            round_eps(fold, 6).alias("ewma"),
+        )
+        .orderBy("week")
+    )
+
+
+# ---------------------------------------------------------------- C66
+
+LINK_MAX_DIST = 2
+LINK_BLOCK_CAP = 200  # max members expanded per block (skew guard)
+
+_C66_ORACLE = f"""
+WITH blocked AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
+),
+sized AS (
+  SELECT c_nationkey, c_mktsegment FROM blocked
+  GROUP BY 1, 2 HAVING COUNT(*) <= {LINK_BLOCK_CAP}
+),
+b AS (SELECT blocked.* FROM blocked JOIN sized USING (c_nationkey, c_mktsegment)),
+pairs AS (
+  SELECT x.c_custkey AS id_a, y.c_custkey AS id_b,
+         x.c_nationkey AS nationkey, x.c_mktsegment AS mktsegment,
+         levenshtein(x.c_name, y.c_name) AS lev,
+         greatest(len(x.c_name), len(y.c_name)) AS maxlen
+  FROM b x JOIN b y
+    ON x.c_nationkey = y.c_nationkey AND x.c_mktsegment = y.c_mktsegment
+   AND x.c_custkey < y.c_custkey
+)
+SELECT id_a, id_b, nationkey, mktsegment, lev,
+       {sql_round('1.0 - lev * 1.0 / maxlen', 6)} AS similarity
+FROM pairs WHERE lev <= {LINK_MAX_DIST}
+ORDER BY id_a, id_b
+"""
+
+
+@register("record_linkage", oracle=_C66_ORACLE)
+def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage (entity resolution) on the customer
+    dimension: candidate pairs only WITHIN a blocking key
+    (nation × segment), scored by Levenshtein edit distance, kept at
+    distance ≤ 2 with a normalised similarity.
+
+    The standard dedupe/splink shape re-expressed Spark-first: one
+    groupBy collects each block's member list (cap {LINK_BLOCK_CAP} —
+    a degenerate block would expand O(cap²); production linkage drops
+    or re-blocks such keys), pairs expand MAP-SIDE from the sorted
+    list, and the edit distance runs as the built-in JVM
+    ``levenshtein`` on the pair grain — never an all-pairs cross join,
+    never Python. Reproduces the reference's duplicate-link semantics
+    (dqa identify_duplicates) for structured records rather than text.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    blocks = (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("c_custkey").alias("id"), "c_name"))
+            ).alias("ms")
+        )
+        .where(F.size("ms") <= LINK_BLOCK_CAP)
+    )
+    ms = F.col("ms")
+    pair_arr = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + F.lit(2), F.size(ms)),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["c_name"].alias("na"),
+                    y["c_name"].alias("nb"),
+                ),
+            ),
+        )
+    )
+    pairs = blocks.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.explode(pair_arr).alias("p"),
+    ).select(
+        F.col("p.id_a").alias("id_a"),
+        F.col("p.id_b").alias("id_b"),
+        "nationkey",
+        "mktsegment",
+        # bounded form: early-exits the DP once distance exceeds the
+        # threshold (returns -1 above it) — 3x faster at pair grain
+        F.levenshtein("p.na", "p.nb", LINK_MAX_DIST).alias("lev"),
+        F.greatest(F.length("p.na"), F.length("p.nb")).alias("maxlen"),
+    )
+    return (
+        pairs.where(F.col("lev") >= 0)
+        .select(
+            "id_a",
+            "id_b",
+            "nationkey",
+            "mktsegment",
+            "lev",
+            round_eps(1.0 - F.col("lev") / F.col("maxlen"), 6).alias("similarity"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------- C67
+
+from .llm_plans8 import _C52_ORACLE  # noqa: E402
+
+_C67_ORACLE = f"""
+WITH edges AS ({_C52_ORACLE}),
+sym AS (
+  SELECT u1, u2 FROM edges
+  UNION
+  SELECT u2 AS u1, u1 AS u2 FROM edges
+),
+deg AS (SELECT u1 AS u, COUNT(*) AS d FROM sym GROUP BY u1),
+common AS (
+  SELECT a.u1 AS u, b.u2 AS v, COUNT(*) AS cn
+  FROM sym a JOIN sym b ON a.u2 = b.u1
+  WHERE a.u1 < b.u2
+    AND NOT EXISTS (SELECT 1 FROM sym s WHERE s.u1 = a.u1 AND s.u2 = b.u2)
+  GROUP BY 1, 2
+)
+SELECT common.u AS u, common.v AS v, cn AS common_neighbors,
+       {sql_round('cn * 1.0 / (da.d + db.d - cn)', 6)} AS jaccard
+FROM common
+JOIN deg da ON da.u = common.u
+JOIN deg db ON db.u = common.v
+ORDER BY u, v
+"""
+
+
+@register("link_prediction_jaccard", oracle=_C67_ORACLE)
+def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard link prediction on the behavioral
+    similarity graph (C52's edges): for every NON-adjacent pair with at
+    least one common neighbor, score |N(u)∩N(v)| / |N(u)∪N(v)| — the
+    classic link-prediction baseline (Liben-Nowell & Kleinberg), and
+    the scoring C61's candidate pool feeds.
+
+    Common-neighbor counts come from the SAME one middle-vertex
+    self-join as the triangle/two-hop family (degree-bound work, AQE
+    splits hubs) aggregated at (u,v) grain; degrees join from a
+    |V|-row broadcast; adjacency removal is a LEFT ANTI join. The
+    union size needs no second pass: |N(u)∪N(v)| = d(u)+d(v)−common.
+    """
+    edges = plans_edges_c52(spark, sf_dir).select("u1", "u2")
+    sym = (
+        edges.union(edges.select(F.col("u2").alias("u1"), F.col("u1").alias("u2")))
+        .distinct()
+        .persist()
+    )
+    deg = sym.groupBy(F.col("u1").alias("u")).agg(F.count(F.lit(1)).alias("d"))
+    a = sym.select(F.col("u1").alias("u"), F.col("u2").alias("mid"))
+    b = sym.select(F.col("u1").alias("mid"), F.col("u2").alias("v"))
+    common = (
+        a.join(b, "mid")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .join(
+            sym.select(F.col("u1").alias("u"), F.col("u2").alias("v")),
+            ["u", "v"],
+            "left_anti",
+        )
+    )
+    return (
+        common.join(F.broadcast(deg.select(F.col("u"), F.col("d").alias("da"))), "u")
+        .join(
+            F.broadcast(deg.select(F.col("u").alias("v"), F.col("d").alias("db"))),
+            "v",
+        )
+        .select(
+            "u",
+            "v",
+            F.col("cn").alias("common_neighbors"),
+            round_eps(
+                F.col("cn") / (F.col("da") + F.col("db") - F.col("cn")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("u", "v")
+    )

@@ -30,6 +30,7 @@ plans.load_all()
 # Arrow-batched Python kernels: the numpy escape hatches only.
 ARROW_OK = {
     "ann_topk_blocked",
+    "knn_label_eval",
     "ann_ivf",
     "ann_lsh_bucketed",
     "ann_pq_adc",
@@ -68,6 +69,7 @@ BNLJ_OK = {
     "hybrid_search_rrf",  # broadcast 1-row df-count + query-vector attaches
     "rolling_distinct_users",  # broadcast 1-row calendar-bounds attach
     "rfm_features",  # broadcast 1-row horizon-scalar attach
+    "item_cooccurrence",  # broadcast 1-row |orders|-scalar attach
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))

@@ -413,3 +413,88 @@ def test_sequence_packing_one_window_no_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sequence_packing")
     assert "Window" in plan
     assert "Join" not in plan
+
+
+def test_prefix_filter_no_cartesian_and_broadcast_verify(spark, sf_dir):
+    # candidate pairs come from map-side expansion of prefix-bucket
+    # lists; the verify joins broadcast the tiny pair frame — the plan
+    # must never degenerate into an all-pairs join
+    plan = _plan(spark, sf_dir, "jaccard_prefix_filter")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_last_touch_attribution_one_shuffle_window(spark, sf_dir):
+    # the as-of composition is union + ONE user_id window; no range
+    # join, no per-key loop
+    plan = _plan(spark, sf_dir, "last_touch_attribution")
+    assert "Window" in plan
+    assert "Union" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_item_cooccurrence_mapside_pairs(spark, sf_dir):
+    # pair expansion is map-side from each order's sorted part list
+    # (Generate over the pair array) — never a lineitem self-join
+    plan = _plan(spark, sf_dir, "item_cooccurrence")
+    assert "Generate" in plan
+    assert _scan_count(plan, "lineitem") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_ewma_single_scan_no_join(spark, sf_dir):
+    # corpus reduces to |weeks| rows in one aggregate; the recurrence
+    # (collect_list window + fold) runs on the dimension-scale frame
+    plan = _plan(spark, sf_dir, "ewma_weekly_volume")
+    assert _scan_count(plan, "orders") == 1
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_record_linkage_mapside_pairs(spark, sf_dir):
+    # pairs expand map-side from per-block member lists; levenshtein is
+    # the JVM built-in at pair grain — no cross join, no Python
+    plan = _plan(spark, sf_dir, "record_linkage")
+    assert "Generate" in plan
+    assert _scan_count(plan, "customer") == 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_link_prediction_broadcast_degrees(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "link_prediction_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_refresh_dimension_scale_merge(spark, sf_dir):
+    # the merge is a |weeks|-row full-outer sum; no cartesian anywhere,
+    # and the index attach stays a broadcast
+    plan = _plan(spark, sf_dir, "incremental_stock_refresh")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_seasonal_decompose_dimension_scale(spark, sf_dir):
+    # one fact aggregate to |days| rows; windows and the 7-row seasonal
+    # broadcast all run on the dimension-scale frame
+    plan = _plan(spark, sf_dir, "seasonal_decompose")
+    assert _scan_count(plan, "orders") == 1
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_benford_one_agg_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "benford_profile")
+    assert _scan_count(plan, "orders") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_eval_streams_corpus(spark, sf_dir):
+    # corpus streams through ONE Arrow pass; votes/accuracy run on
+    # (query, label)-grain frames — no all-pairs join anywhere
+    plan = _plan(spark, sf_dir, "knn_label_eval")
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan or "PythonMapInArrow" in plan or "mapInPandas" in plan.lower()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

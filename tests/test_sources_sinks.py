@@ -311,3 +311,37 @@ def test_schema_evolution_merge(spark, sf_dir, tmp_path):
     assert merged.where(F.col("batch") == 2).where(
         F.col("text_len").isNull()
     ).count() == 0
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    # D13: a fact table partitioned by month joined to a FILTERED dim
+    # must prune fact partitions at RUNTIME via the dim's build side —
+    # Spark's dynamic partition pruning, the mechanism that makes
+    # star-schema joins over a 100 TB date-partitioned lake read only
+    # the qualifying months. The subquery-duplicate form
+    # (dynamicpruningexpression) must appear in the fact scan.
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    path = str(tmp_path / "orders_by_month")
+    orders.write.partitionBy("month").parquet(path)
+
+    fact = spark.read.parquet(path)
+    months = (
+        orders.select("month").distinct().limit(2)
+        .withColumn("keep", F.lit(1))
+    )
+    dim_path = str(tmp_path / "month_dim")
+    months.write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path).where(F.col("keep") == 1)
+
+    joined = fact.join(dim, "month").groupBy("month").count()
+    import io, contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain(True)
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower(), plan[-2000:]
+    # and the join itself broadcasts the tiny dim
+    assert "BroadcastHashJoin" in plan
