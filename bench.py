@@ -124,6 +124,10 @@ BENCH_KEYS: list[str] = [
     "benford_profile",
     "knn_label_eval",
     "link_prediction_jaccard",
+    "session_path_analysis",
+    "contrastive_pair_mining",
+    "mlm_masking",
+    "chars_equidepth_histogram",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

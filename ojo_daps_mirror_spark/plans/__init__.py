@@ -54,6 +54,7 @@ def load_all() -> None:
         llm_plans11,
         llm_plans12,
         llm_plans13,
+        llm_plans14,
         misc_plans,
         parity_plans,
         olap,

@@ -31,6 +31,7 @@ plans.load_all()
 ARROW_OK = {
     "ann_topk_blocked",
     "knn_label_eval",
+    "contrastive_pair_mining",
     "ann_ivf",
     "ann_lsh_bucketed",
     "ann_pq_adc",
@@ -61,6 +62,7 @@ BNLJ_OK = {
     "weekly_locs_vacancies",  # broadcast Monday index frame
     "weekly_soc_vacancies",  # broadcast Monday index frame
     "weekly_stock",  # broadcast Monday index frame
+    "incremental_stock_refresh",  # same fill_and_index broadcast index attach
     "weekly_stock_by_region",  # broadcast Monday index frame
     "incremental_minhash_dedup",  # broadcast pair frame in verify
     "dedup_minhash_lsh",  # broadcast pair frame in verify
@@ -70,6 +72,7 @@ BNLJ_OK = {
     "rolling_distinct_users",  # broadcast 1-row calendar-bounds attach
     "rfm_features",  # broadcast 1-row horizon-scalar attach
     "item_cooccurrence",  # broadcast 1-row |orders|-scalar attach
+    "chars_equidepth_histogram",  # broadcast 1-row percentile-cuts attach
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))

@@ -498,3 +498,34 @@ def test_knn_eval_streams_corpus(spark, sf_dir):
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan or "PythonMapInArrow" in plan or "mapInPandas" in plan.lower()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_session_path_dimension_scale(spark, sf_dir):
+    # sessionize's one (user,time) shuffle + one session groupBy; the
+    # share window and top-k run on the pattern-vocabulary table
+    plan = _plan(spark, sf_dir, "session_path_analysis")
+    assert "TakeOrderedAndProject" in plan
+    assert _scan_count(plan, "events") == 1
+    assert "Join" not in plan
+
+
+def test_contrastive_mining_streams_corpus(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "contrastive_pair_mining")
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan or "PythonMapInArrow" in plan or "mapInPandas" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mlm_masking_pure_map(spark, sf_dir):
+    # corruption must be a single map pass: no shuffle, no join, no
+    # Python — reproducible under resharding by construction
+    plan = _plan(spark, sf_dir, "mlm_masking")
+    assert "Exchange" not in plan.replace("Exchange rangepartitioning", "")  or "Join" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_equidepth_histogram_broadcast_cuts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "chars_equidepth_histogram")
+    assert "CartesianProduct" not in plan
+    assert _scan_count(plan, "documents") == 2  # cuts pass + bucket pass
