@@ -55,6 +55,7 @@ def load_all() -> None:
         llm_plans12,
         llm_plans13,
         llm_plans14,
+        llm_plans15,
         misc_plans,
         parity_plans,
         olap,

@@ -157,3 +157,87 @@ def test_left_outer_interval_join_closure(spark, sf_dir):
         manual[u] = (n + 1, un + (0 if converted else 1))
     got = {r.user_id: (r.n_clicks, r.n_unconverted) for r in rows}
     assert got == manual
+
+
+def test_stateful_anomaly_state_survives_batches(spark, tmp_path):
+    """Three micro-batches: the expanding z-score history must carry
+    across batches (state), and the final per-window scores must equal
+    a single-pass batch computation on the union of all batches."""
+    import os
+    import shutil
+    import uuid
+    from datetime import datetime, timedelta
+
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ojo_daps_mirror_spark.streaming.anomaly import (
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        _update,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    base = datetime(2001, 5, 1, 0, 0)
+
+    # 8 six-hour windows with counts 4,6,5,7,5,6,50,5 — the spike in
+    # window 6 must flag once ≥3 priors exist (priors varied so the
+    # sample std is nonzero). Split across 3 files.
+    def rows_for(widx, n, start_id):
+        t = base + timedelta(hours=6 * widx, minutes=10)
+        return [(start_id + i, t, 1, "view", 1.0, "{}") for i in range(n)]
+
+    batches = [
+        rows_for(0, 4, 0) + rows_for(1, 6, 100) + rows_for(2, 5, 200),
+        rows_for(3, 7, 300) + rows_for(4, 5, 400) + rows_for(5, 6, 500),
+        rows_for(6, 50, 600) + rows_for(7, 5, 700),
+    ]
+    land = tmp_path / "land"
+    land.mkdir()
+    for bi, rows in enumerate(batches):
+        tmp = tmp_path / f"w_{bi}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = land / f"b{bi}.parquet"
+        shutil.copy(tmp / part, dst)
+        os.utime(dst, (1_000_000_000 + bi * 600,) * 2)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(land))
+        .select("event_type", "ts")
+    )
+    scored = stream.groupBy("event_type").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"anom_{uuid.uuid4().hex[:8]}"
+    q = (scored.writeStream.format("memory").queryName(sink)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.table(sink)
+    assert out.agg(F.max("emit_seq")).collect()[0][0] >= 3  # real multi-batch
+    w = Window.partitionBy("event_type", "window_start").orderBy(
+        F.col("emit_seq").desc()
+    )
+    final = (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .orderBy("window_start")
+        .collect()
+    )
+    counts = [r["n_events"] for r in final]
+    assert counts == [4, 6, 5, 7, 5, 6, 50, 5]
+    flags = [r["is_anomaly"] for r in final]
+    assert flags[6] is True and sum(flags) == 1, final
+    # cross-check z for the spike against the closed-form expanding stat
+    prev = np.array([4, 6, 5, 7, 5, 6], dtype=float)
+    z_expected = (50 - prev.mean()) / prev.std(ddof=1)
+    assert abs(final[6]["z"] - round(z_expected + 1e-9, 4)) < 1e-9
