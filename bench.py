@@ -128,6 +128,8 @@ BENCH_KEYS: list[str] = [
     "contrastive_pair_mining",
     "mlm_masking",
     "chars_equidepth_histogram",
+    "mutual_information_features",
+    "kneser_ney_bigram",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

@@ -56,6 +56,7 @@ def load_all() -> None:
         llm_plans13,
         llm_plans14,
         llm_plans15,
+        llm_plans16,
         misc_plans,
         parity_plans,
         olap,

@@ -73,6 +73,7 @@ BNLJ_OK = {
     "rfm_features",  # broadcast 1-row horizon-scalar attach
     "item_cooccurrence",  # broadcast 1-row |orders|-scalar attach
     "chars_equidepth_histogram",  # broadcast 1-row percentile-cuts attach
+    "kneser_ney_bigram",  # broadcast 1-row |bigram types|-scalar attach
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))

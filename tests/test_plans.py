@@ -529,3 +529,20 @@ def test_equidepth_histogram_broadcast_cuts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "chars_equidepth_histogram")
     assert "CartesianProduct" not in plan
     assert _scan_count(plan, "documents") == 2  # cuts pass + bucket pass
+
+
+def test_mutual_information_contingency_scale(spark, sf_dir):
+    # fact join reduces to the |X|x|Y| table in one aggregate with a
+    # broadcast customer dim; windows run on the tiny table
+    plan = _plan(spark, sf_dir, "mutual_information_features")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert _scan_count(plan, "orders") == 1
+
+
+def test_kneser_ney_vocab_scale(spark, sf_dir):
+    # one corpus shuffle to (w1,w2) counts; smoothing terms are
+    # aggregates of the persisted type table joined back broadcast
+    plan = _plan(spark, sf_dir, "kneser_ney_bigram")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
