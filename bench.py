@@ -130,6 +130,8 @@ BENCH_KEYS: list[str] = [
     "chars_equidepth_histogram",
     "mutual_information_features",
     "kneser_ney_bigram",
+    "as_of_join_nearest",
+    "rerank_stub",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

@@ -82,3 +82,73 @@ def asof_join(
         *[carry(c).alias(c) for c in build_values],
     )
     return carried.where(F.col("_side") == (1 - build_side)).drop("_side")
+
+
+def asof_join_nearest(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    probe_time: str,
+    build_time: str,
+    build_values: list[str],
+    build_key: str | None = None,
+) -> DataFrame:
+    """Nearest as-of join (the third merge_asof direction): for each
+    probe row, the build row minimising |build time − probe time|, ties
+    going BACKWARD (the at-or-before row).
+
+    Same single key-shuffle as the directional forms — build rows sort
+    before probes at equal times, and BOTH carries evaluate over the
+    one sorted partition (two frames, one sort): last-preceding for the
+    backward candidate, first-following for the forward one. An
+    equal-time build row is only seen by the backward carry, which is
+    exactly the tie rule. Output columns: probe columns, then
+    ``<v>_back`` / ``<v>_fwd`` for each build value plus ``_t_back`` /
+    ``_t_fwd`` build times — callers pick with the distance rule (kept
+    raw so they can also expose which side won).
+    """
+    probe_cols = probe.columns
+    b = build.select(
+        F.col(build_key or key).alias("_k"),
+        F.col(build_time).cast("timestamp").alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in build_values],
+        *[F.lit(None).alias(f"_p_{c}") for c in probe_cols],
+    )
+    p = probe.select(
+        F.col(key).alias("_k"),
+        F.col(probe_time).cast("timestamp").alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(t).alias(c) for c, t in build.select(*build_values).dtypes],
+        *[F.col(c).alias(f"_p_{c}") for c in probe_cols],
+    )
+    w_back = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    bt = F.when(F.col("_side") == 0, F.col("_t"))
+    carried = b.unionByName(p).select(
+        "_side",
+        *[F.col(f"_p_{c}").alias(c) for c in probe_cols],
+        *[
+            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
+            .over(w_back)
+            .alias(f"{c}_back")
+            for c in build_values
+        ],
+        F.last(bt, ignorenulls=True).over(w_back).alias("_t_back"),
+        *[
+            F.first(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
+            .over(w_fwd)
+            .alias(f"{c}_fwd")
+            for c in build_values
+        ],
+        F.first(bt, ignorenulls=True).over(w_fwd).alias("_t_fwd"),
+    )
+    return carried.where(F.col("_side") == 1).drop("_side")

@@ -57,6 +57,7 @@ def load_all() -> None:
         llm_plans14,
         llm_plans15,
         llm_plans16,
+        llm_plans17,
         misc_plans,
         parity_plans,
         olap,

@@ -546,3 +546,20 @@ def test_kneser_ney_vocab_scale(spark, sf_dir):
     plan = _plan(spark, sf_dir, "kneser_ney_bigram")
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_nearest_single_shuffle(spark, sf_dir):
+    # both direction carries evaluate over ONE sorted key partition —
+    # no join of two as-of results, no range join
+    plan = _plan(spark, sf_dir, "as_of_join_nearest")
+    assert "Window" in plan
+    assert "Union" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_rerank_cuts_before_scoring(spark, sf_dir):
+    # the candidate top-k (WindowGroupLimit) must run BEFORE the
+    # cross-encoder projection: rerank cost is O(candidates)
+    plan = _plan(spark, sf_dir, "rerank_stub")
+    assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
