@@ -132,6 +132,7 @@ BENCH_KEYS: list[str] = [
     "kneser_ney_bigram",
     "as_of_join_nearest",
     "rerank_stub",
+    "embedding_quantize_int8",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

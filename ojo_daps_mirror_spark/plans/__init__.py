@@ -58,6 +58,7 @@ def load_all() -> None:
         llm_plans15,
         llm_plans16,
         llm_plans17,
+        llm_plans18,
         misc_plans,
         parity_plans,
         olap,

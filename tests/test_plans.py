@@ -563,3 +563,11 @@ def test_rerank_cuts_before_scoring(spark, sf_dir):
     plan = _plan(spark, sf_dir, "rerank_stub")
     assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan
     assert "Join" not in plan
+
+
+def test_int8_quantize_mapside(spark, sf_dir):
+    # calibration is a |dim|-row aggregate collected once (codebook
+    # shape); encode+error is one map pass — no join, no second shuffle
+    plan = _plan(spark, sf_dir, "embedding_quantize_int8")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan

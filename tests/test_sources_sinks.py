@@ -345,3 +345,24 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[-2000:]
     # and the join itself broadcasts the tiny dim
     assert "BroadcastHashJoin" in plan
+
+
+def test_scan_parallelism_tracks_max_partition_bytes(spark, sf_dir, tmp_path):
+    # D15: the knob the SURVEY scale posture leans on — input split
+    # count must scale with spark.sql.files.maxPartitionBytes so a
+    # 100 TB scan can be sized to executor memory
+    path = str(tmp_path / "wide")
+    spark.range(0, 2_000_000).selectExpr(
+        "id", "repeat('x', 64) AS pad"
+    ).coalesce(1).write.parquet(path)
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1MB")
+        many = spark.read.parquet(path).rdd.getNumPartitions()
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "512MB")
+        few = spark.read.parquet(path).rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert few < many, (few, many)
+    assert many >= 8  # ~tens of 1MB splits for a multi-MB file
