@@ -133,6 +133,8 @@ BENCH_KEYS: list[str] = [
     "as_of_join_nearest",
     "rerank_stub",
     "embedding_quantize_int8",
+    "data_profile_report",
+    "robust_scaling",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

@@ -59,6 +59,7 @@ def load_all() -> None:
         llm_plans16,
         llm_plans17,
         llm_plans18,
+        llm_plans19,
         misc_plans,
         parity_plans,
         olap,

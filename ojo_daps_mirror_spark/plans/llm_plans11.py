@@ -49,6 +49,13 @@ ORDER BY id_a, id_b
 """
 
 
+def prefix_filter_pairs(spark: SparkSession, sf_dir: str, t: float) -> DataFrame:
+    """Exact Jaccard-threshold pair set at threshold ``t`` via the C64
+    prefix-filter machinery — reused by the C76 dedup-recall evaluator
+    as its distributed ground truth. See ``jaccard_prefix_filter``."""
+    return _prefix_filter_impl(spark, sf_dir, t)
+
+
 @register("jaccard_prefix_filter", oracle=_C64_ORACLE)
 def jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT threshold set-similarity self-join via PPJoin prefix
@@ -74,6 +81,10 @@ def jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's near-dup edge semantics (deduplication.py) with
     zero false negatives at the declared threshold.
     """
+    return _prefix_filter_impl(spark, sf_dir, PREFIX_T)
+
+
+def _prefix_filter_impl(spark: SparkSession, sf_dir: str, t: float) -> DataFrame:
     raw = load_table(spark, sf_dir, "documents")
     docs = raw.select(
         "doc_id", shingles(tokens(F.col("text")), MH_SHINGLE_K).alias("sh")
@@ -98,7 +109,7 @@ def jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(
             F.col("rnk")
-            <= F.col("len") - F.ceil(F.lit(PREFIX_T) * F.col("len")) + 1
+            <= F.col("len") - F.ceil(F.lit(t) * F.col("len")) + 1
         )
         .select("s", "doc_id", "len", "rnk")
     )
@@ -113,7 +124,6 @@ def jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("ds") >= 2)
     )
     ds = F.col("ds")
-    t = PREFIX_T
     pair_arr = F.flatten(
         F.transform(
             ds,
@@ -149,7 +159,7 @@ def jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
         .distinct()
     )
-    return _jaccard_verify(raw, cand, MH_SHINGLE_K)
+    return _jaccard_verify(raw, cand, MH_SHINGLE_K, threshold=t)
 
 
 # ---------------------------------------------------------------- B47

@@ -363,7 +363,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_verify(raw, cand, MH_SHINGLE_K)
 
 
-def _jaccard_verify(raw: DataFrame, cand: DataFrame, k: int) -> DataFrame:
+def _jaccard_verify(
+    raw: DataFrame, cand: DataFrame, k: int, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs: semi-join the id
     set before the shingle computation, then broadcast the tiny pair
     frame so the doc side never shuffles.
@@ -403,7 +405,7 @@ def _jaccard_verify(raw: DataFrame, cand: DataFrame, k: int) -> DataFrame:
         )
     )
     return (
-        jac.where(F.col("jac") >= JACCARD_THRESHOLD)
+        jac.where(F.col("jac") >= threshold)
         .select(
             F.col("i").alias("id_a"),
             F.col("j").alias("id_b"),

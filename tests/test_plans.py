@@ -571,3 +571,25 @@ def test_int8_quantize_mapside(spark, sf_dir):
     plan = _plan(spark, sf_dir, "embedding_quantize_int8")
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_data_profile_single_scan(spark, sf_dir):
+    # all profiled columns from ONE scan: map-side unpivot (stack) to
+    # (col, value) pairs, one combined count aggregate
+    plan = _plan(spark, sf_dir, "data_profile_report")
+    assert _scan_count(plan, "orders") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_robust_scaling_broadcast_stats(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "robust_scaling")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_recall_no_cartesian(spark, sf_dir):
+    # ground truth is the distributed prefix-filter path, never a
+    # quadratic join; the found set broadcasts onto truth
+    plan = _plan(spark, sf_dir, "dedup_recall_eval")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
