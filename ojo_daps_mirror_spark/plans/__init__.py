@@ -60,6 +60,7 @@ def load_all() -> None:
         llm_plans17,
         llm_plans18,
         llm_plans19,
+        llm_plans20,
         misc_plans,
         parity_plans,
         olap,

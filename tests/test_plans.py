@@ -593,3 +593,11 @@ def test_dedup_recall_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_recall_eval")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_split_assignment_pure_map(spark, sf_dir):
+    # assignment is join-free per row; report windows run on the
+    # (lang, split)-grain frame
+    plan = _plan(spark, sf_dir, "train_val_test_split")
+    assert "Join" not in plan
+    assert _scan_count(plan, "documents") == 1
