@@ -190,3 +190,123 @@ def test_weekly_salary_spread_approx_tolerance(spark, sf_dir):
             target = qq * (n - 1)
             assert any(abs(k - target) <= 1.0 for k in ranks), (
                 week, col, got, target, ranks, n)
+
+
+@SETTINGS
+@given(
+    probes=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=20),
+    builds=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1000)), max_size=20),
+)
+def test_asof_nearest_matches_pandas_model(spark, probes, builds):
+    """asof_join_nearest must agree with a brute-force nearest-with-
+    backward-ties model on random keyed time series (pandas
+    merge_asof('nearest') breaks ties toward the LATER row, so the
+    model is hand-rolled to our documented backward-tie contract)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from ojo_daps_mirror_spark.operators.asof import asof_join_nearest
+
+    base = datetime.datetime(2020, 1, 1)
+    ts = lambda s: base + datetime.timedelta(seconds=s)  # noqa: E731
+    # build times unique per (key, time): dedupe keeping max tag
+    bmap = {}
+    for i, (k, t) in enumerate(builds):
+        bmap[(k, t)] = i
+    brows = [(k, ts(t), tag) for (k, t), tag in sorted(bmap.items())]
+    prows = [(i, k, ts(t)) for i, (k, t) in enumerate(probes)]
+    pdf = spark.createDataFrame(prows, "pid long, k long, t timestamp")
+    bdf = (
+        spark.createDataFrame(brows, "k long, bt timestamp, tag long")
+        if brows
+        else spark.createDataFrame([], "k long, bt timestamp, tag long")
+    )
+    out = asof_join_nearest(
+        pdf, bdf, key="k", probe_time="t", build_time="bt", build_values=["tag"]
+    )
+    got = {}
+    for r in out.collect():
+        back, fwd = r["_t_back"], r["_t_fwd"]
+        if back is None and fwd is None:
+            got[r["pid"]] = None
+        elif fwd is None:
+            got[r["pid"]] = r["tag_back"]
+        elif back is None:
+            got[r["pid"]] = r["tag_fwd"]
+        else:
+            db = (r["t"] - back).total_seconds()
+            df_ = (fwd - r["t"]).total_seconds()
+            got[r["pid"]] = r["tag_back"] if db <= df_ else r["tag_fwd"]
+
+    for pid, k, t in prows:
+        cands = [(bt, tag) for (bk, bt, tag) in brows if bk == k]
+        if not cands:
+            assert got[pid] is None
+            continue
+        back = max(((bt, tag) for bt, tag in cands if bt <= t), default=None)
+        fwd = min(((bt, tag) for bt, tag in cands if bt > t), default=None)
+        if back is None:
+            want = fwd[1]
+        elif fwd is None:
+            want = back[1]
+        else:
+            want = (
+                back[1]
+                if (t - back[0]).total_seconds() <= (fwd[0] - t).total_seconds()
+                else fwd[1]
+            )
+        assert got[pid] == want, (pid, k, t, back, fwd, got[pid])
+
+
+def test_prefix_filter_exactness_adversarial(spark, tmp_path):
+    """The PPJoin prefix-filter path must return EXACTLY the brute-force
+    threshold pairs on a corpus built to stress it: near-dups straddling
+    t=0.8, shared boilerplate shingles (hot buckets), and length-filter
+    edge cases."""
+    import itertools
+
+    from ojo_daps_mirror_spark.plans.llm_plans11 import PREFIX_T, prefix_filter_pairs
+    from ojo_daps_mirror_spark.plans.text_plans import MH_SHINGLE_K
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    docs = []
+    # family A: 95%-identical long docs (above threshold)
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon") * 2
+    docs.append(base)
+    docs.append(base.replace("kappa", "kappa2"))
+    # family B: ~50% overlap (below threshold) sharing boilerplate
+    docs.append(boiler + " " + base[: len(base) // 2])
+    docs.append(boiler + " unrelated words entirely different content here")
+    # family C: exact duplicates
+    docs.append("one two three four five six seven eight nine ten")
+    docs.append("one two three four five six seven eight nine ten")
+    # short docs that trip the length filter
+    docs.append("aa bb cc")
+    docs.append("aa bb cc dd")
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, d, "en", "t", len(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{path}/documents.parquet")
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_pairs(spark, path, PREFIX_T).collect()
+    }
+
+    def sh(text):
+        toks = text.split()
+        return {
+            " ".join(toks[i : i + MH_SHINGLE_K])
+            for i in range(len(toks) - MH_SHINGLE_K + 1)
+        }
+
+    want = set()
+    for i, j in itertools.combinations(range(len(docs)), 2):
+        a, b = sh(docs[i]), sh(docs[j])
+        if a and b and len(a & b) / len(a | b) >= PREFIX_T:
+            want.add((i, j))
+    assert got == want, (got, want)
+    assert (4, 5) in want  # the exact-dup pair really is in scope
