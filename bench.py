@@ -136,6 +136,7 @@ BENCH_KEYS: list[str] = [
     "data_profile_report",
     "robust_scaling",
     "train_val_test_split",
+    "props_variant_extract",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

@@ -61,6 +61,7 @@ def load_all() -> None:
         llm_plans18,
         llm_plans19,
         llm_plans20,
+        llm_plans21,
         misc_plans,
         parity_plans,
         olap,

@@ -32,6 +32,7 @@ ARROW_OK = {
     "ann_topk_blocked",
     "knn_label_eval",
     "contrastive_pair_mining",
+    "rag_chunking_udtf",  # arrow-optimized UDTF by design (API-surface twin of C46)
     "ann_ivf",
     "ann_lsh_bucketed",
     "ann_pq_adc",

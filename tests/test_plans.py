@@ -601,3 +601,19 @@ def test_split_assignment_pure_map(spark, sf_dir):
     plan = _plan(spark, sf_dir, "train_val_test_split")
     assert "Join" not in plan
     assert _scan_count(plan, "documents") == 1
+
+
+def test_variant_extract_single_parse(spark, sf_dir):
+    # props parses once into a variant; the aggregate is one
+    # map-side-combined pass — no Python, no join
+    plan = _plan(spark, sf_dir, "props_variant_extract")
+    assert "parse_json" in plan or "variant_get" in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_udtf_is_arrow_optimized(spark, sf_dir):
+    # the UDTF twin must run arrow-optimized, never row-pickled
+    plan = _plan(spark, sf_dir, "rag_chunking_udtf")
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPythonUDTF" not in plan
