@@ -137,6 +137,9 @@ BENCH_KEYS: list[str] = [
     "robust_scaling",
     "train_val_test_split",
     "props_variant_extract",
+    "per_group_regression",
+    "correlation_matrix",
+    "linear_trend_forecast",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

@@ -62,6 +62,7 @@ def load_all() -> None:
         llm_plans19,
         llm_plans20,
         llm_plans21,
+        llm_plans22,
         misc_plans,
         parity_plans,
         olap,

@@ -617,3 +617,24 @@ def test_udtf_is_arrow_optimized(spark, sf_dir):
     plan = _plan(spark, sf_dir, "rag_chunking_udtf")
     assert "ArrowEvalPythonUDTF" in plan
     assert "BatchEvalPythonUDTF" not in plan
+
+
+def test_per_group_regression_no_python(spark, sf_dir):
+    # sufficient statistics are map-side-combined aggregates; a
+    # million-group fit is one shuffle of 5 doubles per group
+    plan = _plan(spark, sf_dir, "per_group_regression")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_correlation_matrix_single_scan(spark, sf_dir):
+    # all pairwise coefficients from ONE aggregation pass
+    plan = _plan(spark, sf_dir, "correlation_matrix")
+    assert _scan_count(plan, "lineitem") == 1
+    assert "Join" not in plan
+
+
+def test_trend_forecast_dimension_scale(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "linear_trend_forecast")
+    assert _scan_count(plan, "orders") == 1
+    assert "Join" not in plan
