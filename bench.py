@@ -140,6 +140,7 @@ BENCH_KEYS: list[str] = [
     "per_group_regression",
     "correlation_matrix",
     "linear_trend_forecast",
+    "readability_scores",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

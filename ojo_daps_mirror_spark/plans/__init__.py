@@ -63,6 +63,7 @@ def load_all() -> None:
         llm_plans20,
         llm_plans21,
         llm_plans22,
+        llm_plans23,
         misc_plans,
         parity_plans,
         olap,

@@ -638,3 +638,9 @@ def test_trend_forecast_dimension_scale(spark, sf_dir):
     plan = _plan(spark, sf_dir, "linear_trend_forecast")
     assert _scan_count(plan, "orders") == 1
     assert "Join" not in plan
+
+
+def test_readability_pure_map(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "readability_scores")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

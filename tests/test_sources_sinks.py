@@ -366,3 +366,30 @@ def test_scan_parallelism_tracks_max_partition_bytes(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
     assert few < many, (few, many)
     assert many >= 8  # ~tens of 1MB splits for a multi-MB file
+
+
+def test_observation_metrics_piggyback_on_scan(spark, sf_dir):
+    # D16: Dataset.observe attaches QC metrics to an existing action —
+    # the pipeline-health pattern that avoids a second full scan for
+    # row counts / null rates on a 100 TB write
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = Observation("qc")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("n_chars")).alias("total_chars"),
+        F.count(F.when(F.col("lang").isNull(), 1)).alias("null_langs"),
+    )
+    # one action drives BOTH the business result and the metrics
+    kept = observed.where(F.col("n_chars") > 100).count()
+    got = obs.get
+    want = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("t"),
+    ).collect()[0]
+    assert got["n_rows"] == want["n"]
+    assert got["total_chars"] == want["t"]
+    assert got["null_langs"] == 0
+    assert kept <= got["n_rows"]
