@@ -141,6 +141,8 @@ BENCH_KEYS: list[str] = [
     "correlation_matrix",
     "linear_trend_forecast",
     "readability_scores",
+    "chi_square_independence",
+    "media_dedup_phash",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

@@ -180,3 +180,32 @@ def sample_frames(docs: DataFrame, every_nth: int = 4) -> DataFrame:
             )
         ).alias("frame_idx"),
     )
+
+
+def fingerprint_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: 32-bit content fingerprint per media blob —
+    the pHash slot. The stand-in hashes the raw bytes (md5 prefix, so
+    the oracle can mirror it SQL-side); a real deployment computes a
+    perceptual hash from decoded pixels/frames in this same kernel and
+    the banding pipeline downstream is unchanged."""
+    import hashlib
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": [m["media_type"] for m in pdf["media_meta"]],
+                "phash": [
+                    int(hashlib.md5(bytes(p)).hexdigest()[:8], 16)
+                    for p in pdf["payload"]
+                ],
+            }
+        )
+
+
+def fingerprint_media(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, media_type, 32-bit fingerprint)."""
+    media = attach_media(docs)
+    return media.mapInPandas(
+        fingerprint_batch, schema="doc_id long, media_type string, phash long"
+    )

@@ -64,6 +64,7 @@ def load_all() -> None:
         llm_plans21,
         llm_plans22,
         llm_plans23,
+        llm_plans24,
         misc_plans,
         parity_plans,
         olap,

@@ -39,6 +39,7 @@ ARROW_OK = {
     "dedup_simhash",
     "embedding_dedup_graph",
     "multimodal_decode",
+    "media_dedup_phash",  # fingerprint kernel over the binary column (pHash slot)
     "near_dup_adaptive",
     "near_dup_cosine",
     "near_dup_windowed",

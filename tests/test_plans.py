@@ -644,3 +644,18 @@ def test_readability_pure_map(spark, sf_dir):
     plan = _plan(spark, sf_dir, "readability_scores")
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chi_square_contingency_scale(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "chi_square_independence")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert _scan_count(plan, "orders") == 1
+
+
+def test_phash_dedup_banding_no_cartesian(spark, sf_dir):
+    # fingerprints from ONE Arrow kernel pass; candidates from band
+    # buckets with map-side pair expansion; hamming verify broadcast
+    plan = _plan(spark, sf_dir, "media_dedup_phash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
