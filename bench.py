@@ -143,6 +143,8 @@ BENCH_KEYS: list[str] = [
     "readability_scores",
     "chi_square_independence",
     "media_dedup_phash",
+    "bitmap_distinct_users",
+    "sequence_mining_2seq",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

@@ -65,6 +65,7 @@ def load_all() -> None:
         llm_plans22,
         llm_plans23,
         llm_plans24,
+        llm_plans25,
         misc_plans,
         parity_plans,
         olap,

@@ -76,6 +76,7 @@ BNLJ_OK = {
     "item_cooccurrence",  # broadcast 1-row |orders|-scalar attach
     "chars_equidepth_histogram",  # broadcast 1-row percentile-cuts attach
     "kneser_ney_bigram",  # broadcast 1-row |bigram types|-scalar attach
+    "sequence_mining_2seq",  # broadcast 1-row |users|-scalar attach
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))

@@ -659,3 +659,20 @@ def test_phash_dedup_banding_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "media_dedup_phash")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bitmap_distinct_single_combined_aggregate(spark, sf_dir):
+    # bitmaps fold map-side per bucket and merge associatively —
+    # no raw-value re-shuffle, no expand
+    plan = _plan(spark, sf_dir, "bitmap_distinct_users")
+    assert _scan_count(plan, "events") == 1
+    assert "Join" not in plan
+
+
+def test_sequence_mining_no_events_self_join(spark, sf_dir):
+    # ordered pairs expand map-side from each user's <=|types| firsts;
+    # never an events-grain self-join
+    plan = _plan(spark, sf_dir, "sequence_mining_2seq")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert _scan_count(plan, "events") <= 2  # firsts pass + user-count scalar
