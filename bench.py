@@ -145,6 +145,7 @@ BENCH_KEYS: list[str] = [
     "media_dedup_phash",
     "bitmap_distinct_users",
     "sequence_mining_2seq",
+    "weighted_sample_es",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

@@ -66,6 +66,7 @@ def load_all() -> None:
         llm_plans23,
         llm_plans24,
         llm_plans25,
+        llm_plans26,
         misc_plans,
         parity_plans,
         olap,

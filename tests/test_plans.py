@@ -676,3 +676,9 @@ def test_sequence_mining_no_events_self_join(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert _scan_count(plan, "events") <= 2  # firsts pass + user-count scalar
+
+
+def test_weighted_sample_topk_no_full_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "weighted_sample_es")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan

@@ -217,3 +217,34 @@ def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
     # with the exact refine stage; the bar is "clearly better than
     # chance" (ANN_K/n ≈ 2%; measured ≈ 0.56 at sf0.001)
     assert mean_recall >= 0.4, f"mean recall {mean_recall:.2f}"
+
+
+def test_pca_power_iteration_matches_numpy(spark, sf_dir):
+    """The distributed power iterate must match dense numpy power
+    iteration (same iterations, same start) to 1e-9, and be close to
+    the true top eigenvector."""
+    import numpy as np
+
+    from ojo_daps_mirror_spark.plans.llm_plans26 import (
+        PCA_ITERS,
+        embedding_top_component,
+    )
+    from ojo_daps_mirror_spark.sources import load_table
+
+    X = np.stack(
+        [
+            r["embedding"]
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ]
+    ).astype(np.float64)
+    Xc = X - X.mean(axis=0)
+    v = np.ones(X.shape[1]) / np.sqrt(X.shape[1])
+    for _ in range(PCA_ITERS):
+        w = Xc.T @ (Xc @ v)
+        lam = np.linalg.norm(w)
+        v = w / lam
+    got_v, got_lam = embedding_top_component(spark, sf_dir)
+    assert abs(got_lam - lam) < 1e-6 * max(lam, 1.0)
+    assert np.max(np.abs(np.abs(got_v) - np.abs(v))) < 1e-9
