@@ -146,6 +146,9 @@ BENCH_KEYS: list[str] = [
     "bitmap_distinct_users",
     "sequence_mining_2seq",
     "weighted_sample_es",
+    "ab_test_analysis",
+    "conversion_latency_quantiles",
+    "period_over_period",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

@@ -67,6 +67,7 @@ def load_all() -> None:
         llm_plans24,
         llm_plans25,
         llm_plans26,
+        llm_plans27,
         misc_plans,
         parity_plans,
         olap,

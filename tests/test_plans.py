@@ -682,3 +682,21 @@ def test_weighted_sample_topk_no_full_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "weighted_sample_es")
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan
+
+
+def test_ab_test_single_fact_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ab_test_analysis")
+    assert _scan_count(plan, "events") == 1
+    assert "Join" not in plan
+
+
+def test_conversion_latency_one_conditional_min(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "conversion_latency_quantiles")
+    assert _scan_count(plan, "events") == 1
+    assert "Join" not in plan
+
+
+def test_period_over_period_dimension_scale(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "period_over_period")
+    assert _scan_count(plan, "orders") == 1
+    assert "Window" in plan
