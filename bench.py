@@ -149,6 +149,7 @@ BENCH_KEYS: list[str] = [
     "ab_test_analysis",
     "conversion_latency_quantiles",
     "period_over_period",
+    "doc_embedding_from_chunks",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

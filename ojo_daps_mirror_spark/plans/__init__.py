@@ -68,6 +68,7 @@ def load_all() -> None:
         llm_plans25,
         llm_plans26,
         llm_plans27,
+        llm_plans28,
         misc_plans,
         parity_plans,
         olap,

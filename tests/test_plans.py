@@ -700,3 +700,12 @@ def test_period_over_period_dimension_scale(spark, sf_dir):
     plan = _plan(spark, sf_dir, "period_over_period")
     assert _scan_count(plan, "orders") == 1
     assert "Window" in plan
+
+
+def test_doc_embedding_chain_one_shuffle(spark, sf_dir):
+    # chunk + embed are map expressions; the only shuffle is the final
+    # (doc, dim)-grain mean
+    plan = _plan(spark, sf_dir, "doc_embedding_from_chunks")
+    assert _scan_count(plan, "documents") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
