@@ -69,6 +69,8 @@ def load_all() -> None:
         llm_plans26,
         llm_plans27,
         llm_plans28,
+        llm_plans29,
+        llm_plans30,
         misc_plans,
         parity_plans,
         olap,
