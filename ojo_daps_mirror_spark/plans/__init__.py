@@ -71,6 +71,7 @@ def load_all() -> None:
         llm_plans28,
         llm_plans29,
         llm_plans30,
+        llm_plans31,
         misc_plans,
         parity_plans,
         olap,
