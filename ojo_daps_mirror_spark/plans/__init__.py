@@ -72,6 +72,7 @@ def load_all() -> None:
         llm_plans29,
         llm_plans30,
         llm_plans31,
+        llm_plans32,
         misc_plans,
         parity_plans,
         olap,
