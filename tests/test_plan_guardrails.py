@@ -77,6 +77,9 @@ BNLJ_OK = {
     "chars_equidepth_histogram",  # broadcast 1-row percentile-cuts attach
     "kneser_ney_bigram",  # broadcast 1-row |bigram types|-scalar attach
     "sequence_mining_2seq",  # broadcast 1-row |users|-scalar attach
+    "cuped_adjusted_ab",  # broadcast 1-row theta/xbar-scalar attach
+    "lift_table",  # broadcast 1-row total-conversions attach
+    "ccnet_perplexity_buckets",  # broadcast 1-row LM-total + tercile-cuts attaches
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
