@@ -452,12 +452,14 @@ def test_ewma_single_scan_no_join(spark, sf_dir):
     assert "Join" not in plan
 
 
-def test_record_linkage_mapside_pairs(spark, sf_dir):
-    # pairs expand map-side from per-block member lists; levenshtein is
-    # the JVM built-in at pair grain — no cross join, no Python
+def test_record_linkage_wide_verify(spark, sf_dir):
+    # block-key equi self-join at pair grain; levenshtein is the JVM
+    # built-in — no cross join, no Python. The verify stage must keep
+    # an explicit user-specified partition count: the pair shuffle is
+    # tiny in BYTES, so AQE would otherwise coalesce it to one
+    # partition and serialise every levenshtein call (measured 6x).
     plan = _plan(spark, sf_dir, "record_linkage")
-    assert "Generate" in plan
-    assert _scan_count(plan, "customer") == 1
+    assert "REPARTITION_BY_NUM" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
 
