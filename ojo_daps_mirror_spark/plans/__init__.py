@@ -73,6 +73,7 @@ def load_all() -> None:
         llm_plans30,
         llm_plans31,
         llm_plans32,
+        llm_plans33,
         misc_plans,
         parity_plans,
         olap,
