@@ -74,6 +74,7 @@ def load_all() -> None:
         llm_plans31,
         llm_plans32,
         llm_plans33,
+        llm_plans34,
         misc_plans,
         parity_plans,
         olap,
