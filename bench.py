@@ -150,6 +150,18 @@ BENCH_KEYS: list[str] = [
     "conversion_latency_quantiles",
     "period_over_period",
     "doc_embedding_from_chunks",
+    "geo_grid_join",
+    "cusum_changepoints",
+    "dsir_importance",
+    "exact_substring_contamination",
+    "python_datasource_scan",
+    "pareto_frontier",
+    "ccnet_perplexity_buckets",
+    "bpe_merge_loop",
+    "kmeans_lloyd",
+    "fellegi_sunter_linkage",
+    "bootstrap_ci_mean",
+    "holt_linear_smoothing",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

@@ -75,6 +75,7 @@ def load_all() -> None:
         llm_plans32,
         llm_plans33,
         llm_plans34,
+        llm_plans35,
         misc_plans,
         parity_plans,
         olap,

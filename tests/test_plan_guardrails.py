@@ -80,6 +80,8 @@ BNLJ_OK = {
     "cuped_adjusted_ab",  # broadcast 1-row theta/xbar-scalar attach
     "lift_table",  # broadcast 1-row total-conversions attach
     "ccnet_perplexity_buckets",  # broadcast 1-row LM-total + tercile-cuts attaches
+    "kmeans_lloyd",  # broadcast K-row codebook attach per Lloyd round
+    "bootstrap_ci_mean",  # broadcast 1-row CI-quantile attach
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
