@@ -162,6 +162,9 @@ BENCH_KEYS: list[str] = [
     "fellegi_sunter_linkage",
     "bootstrap_ci_mean",
     "holt_linear_smoothing",
+    "bm25_ranking",
+    "incremental_join_view",
+    "lineitem_unpivot_metrics",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

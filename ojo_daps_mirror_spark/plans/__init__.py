@@ -76,6 +76,7 @@ def load_all() -> None:
         llm_plans33,
         llm_plans34,
         llm_plans35,
+        llm_plans36,
         misc_plans,
         parity_plans,
         olap,

@@ -82,6 +82,7 @@ BNLJ_OK = {
     "ccnet_perplexity_buckets",  # broadcast 1-row LM-total + tercile-cuts attaches
     "kmeans_lloyd",  # broadcast K-row codebook attach per Lloyd round
     "bootstrap_ci_mean",  # broadcast 1-row CI-quantile attach
+    "bm25_ranking",  # broadcast 1-row corpus-stats attach
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
