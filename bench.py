@@ -165,6 +165,10 @@ BENCH_KEYS: list[str] = [
     "bm25_ranking",
     "incremental_join_view",
     "lineitem_unpivot_metrics",
+    "kaplan_meier_retention",
+    "position_attribution",
+    "diff_in_diff",
+    "neyman_allocation",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

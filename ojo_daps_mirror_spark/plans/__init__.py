@@ -77,6 +77,7 @@ def load_all() -> None:
         llm_plans34,
         llm_plans35,
         llm_plans36,
+        llm_plans37,
         misc_plans,
         parity_plans,
         olap,
