@@ -169,6 +169,10 @@ BENCH_KEYS: list[str] = [
     "position_attribution",
     "diff_in_diff",
     "neyman_allocation",
+    "bpe_encode_apply",
+    "dedup_normalized",
+    "feature_hashing",
+    "target_encoding_loo",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

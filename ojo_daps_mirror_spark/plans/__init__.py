@@ -78,6 +78,7 @@ def load_all() -> None:
         llm_plans35,
         llm_plans36,
         llm_plans37,
+        llm_plans38,
         misc_plans,
         parity_plans,
         olap,
