@@ -173,6 +173,10 @@ BENCH_KEYS: list[str] = [
     "dedup_normalized",
     "feature_hashing",
     "target_encoding_loo",
+    "recursive_nation_reach",
+    "pipe_syntax_summary",
+    "ks_test_two_sample",
+    "gini_concentration",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

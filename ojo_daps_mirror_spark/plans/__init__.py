@@ -79,6 +79,7 @@ def load_all() -> None:
         llm_plans36,
         llm_plans37,
         llm_plans38,
+        llm_plans39,
         misc_plans,
         parity_plans,
         olap,
