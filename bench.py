@@ -177,6 +177,9 @@ BENCH_KEYS: list[str] = [
     "pipe_syntax_summary",
     "ks_test_two_sample",
     "gini_concentration",
+    "growth_accounting",
+    "winsorized_stats",
+    "table_checksum",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

@@ -80,6 +80,7 @@ def load_all() -> None:
         llm_plans37,
         llm_plans38,
         llm_plans39,
+        llm_plans40,
         misc_plans,
         parity_plans,
         olap,
