@@ -180,6 +180,9 @@ BENCH_KEYS: list[str] = [
     "growth_accounting",
     "winsorized_stats",
     "table_checksum",
+    "training_mixture_manifest",
+    "jl_projection_distortion",
+    "length_bucketed_batches",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

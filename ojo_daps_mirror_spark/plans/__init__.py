@@ -81,6 +81,7 @@ def load_all() -> None:
         llm_plans38,
         llm_plans39,
         llm_plans40,
+        llm_plans41,
         misc_plans,
         parity_plans,
         olap,
