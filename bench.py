@@ -183,6 +183,9 @@ BENCH_KEYS: list[str] = [
     "training_mixture_manifest",
     "jl_projection_distortion",
     "length_bucketed_batches",
+    "grouping_sets_report",
+    "window_funnel_depth",
+    "time_decayed_popularity",
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).

@@ -82,6 +82,7 @@ def load_all() -> None:
         llm_plans39,
         llm_plans40,
         llm_plans41,
+        llm_plans42,
         misc_plans,
         parity_plans,
         olap,
