@@ -83,6 +83,7 @@ def load_all() -> None:
         llm_plans40,
         llm_plans41,
         llm_plans42,
+        llm_plans43,
         misc_plans,
         parity_plans,
         olap,
