@@ -84,6 +84,8 @@ def load_all() -> None:
         llm_plans41,
         llm_plans42,
         llm_plans43,
+        llm_plans44,
+        llm_plans45,
         misc_plans,
         parity_plans,
         olap,
