@@ -329,26 +329,35 @@ _POIS = (
     0.9196986029286058,
     0.9810118431238462,
 )
-_U_DENOM = float(1 << 60)  # hash64 is 60 bits
+BOOT_GROUPS = 8  # md5 digests per row; each 32-hex digest yields 4 uniforms
+# Poisson thresholds as 8-hex-char string literals: an 8-hex lowercase
+# substring compares LEXICOGRAPHICALLY exactly like its 32-bit integer
+# value, so u < p becomes one string compare — no radix conversion, no
+# division, no double compare, in either engine.
+import math as _math
+
+_POIS_HEX = tuple(format(_math.ceil(p * (1 << 32)), "08x") for p in _POIS)
 
 
-def _sql_pois_w(u: str) -> str:
+def _sql_pois_w(sub: str) -> str:
     return (
-        f"CASE WHEN {u} < {_POIS[0]!r} THEN 0 "
-        f"WHEN {u} < {_POIS[1]!r} THEN 1 "
-        f"WHEN {u} < {_POIS[2]!r} THEN 2 "
-        f"WHEN {u} < {_POIS[3]!r} THEN 3 ELSE 4 END"
+        f"CASE WHEN {sub} < '{_POIS_HEX[0]}' THEN 0 "
+        f"WHEN {sub} < '{_POIS_HEX[1]}' THEN 1 "
+        f"WHEN {sub} < '{_POIS_HEX[2]}' THEN 2 "
+        f"WHEN {sub} < '{_POIS_HEX[3]}' THEN 3 ELSE 4 END"
     )
 
 
 _B68_ORACLE = f"""
 WITH expanded AS (
-  SELECT b.b,
+  SELECT g.g * 4 + j.j AS b,
          CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
          {_sql_pois_w(
-             sql_hash64("o.o_orderkey::VARCHAR || '|' || b.b::VARCHAR")
-             + f" / {_U_DENOM!r}")} AS w
-  FROM orders o, unnest(generate_series(0, {BOOT_B - 1})) AS b(b)
+             "substr(md5(o.o_orderkey::VARCHAR || '|' || g.g::VARCHAR),"
+             " j.j * 8 + 1, 8)")} AS w
+  FROM orders o,
+       unnest(generate_series(0, {BOOT_GROUPS - 1})) AS g(g),
+       unnest(generate_series(0, 3)) AS j(j)
 ),
 reps AS (
   SELECT b, SUM(w * cents) AS total, SUM(w) AS n
@@ -385,27 +394,43 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition), then a {BOOT_B}-row quantile frame broadcast back.
     Replicate sums run in integer cents × integer weights — exact in
     any order; the only double math is one division per replicate.
+    The md5 work is amortised 4× — each 32-hex digest is cut into
+    FOUR 8-hex (32-bit) uniforms, so a row costs {BOOT_GROUPS} md5
+    calls for {BOOT_B} replicates (measured 5.1 → 2.0 s at sf0.1;
+    the hash, not the shuffle, dominated).
     """
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    u = hash64(
-        F.concat(
-            F.col("o_orderkey").cast("string"),
-            F.lit("|"),
-            F.col("b").cast("string"),
-        )
-    ) / F.lit(_U_DENOM)
+    # digest at (row, g) grain — BEFORE the j explode, so md5 runs
+    # BOOT_GROUPS (not BOOT_B) times per row
+    digests = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_GROUPS - 1))).alias("g"),
+        "o_orderkey",
+    ).select(
+        "cents",
+        "g",
+        F.md5(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit("|"),
+                F.col("g").cast("string"),
+            )
+        ).alias("digest"),
+    )
+    sub = F.substring("digest", F.col("j") * 8 + 1, 8)
     w = (
-        F.when(u < _POIS[0], 0)
-        .when(u < _POIS[1], 1)
-        .when(u < _POIS[2], 2)
-        .when(u < _POIS[3], 3)
+        F.when(sub < _POIS_HEX[0], 0)
+        .when(sub < _POIS_HEX[1], 1)
+        .when(sub < _POIS_HEX[2], 2)
+        .when(sub < _POIS_HEX[3], 3)
         .otherwise(4)
     )
-    expanded = orders.select(
-        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-        "o_orderkey",
-    ).select("b", "cents", w.alias("w"))
+    expanded = digests.select(
+        "cents",
+        "g",
+        "digest",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
+    ).select((F.col("g") * 4 + F.col("j")).alias("b"), "cents", w.alias("w"))
     means = (
         expanded.groupBy("b")
         .agg(F.sum(F.col("w") * F.col("cents")).alias("total"), F.sum("w").alias("n"))
