@@ -86,6 +86,9 @@ def load_all() -> None:
         llm_plans43,
         llm_plans44,
         llm_plans45,
+        llm_plans46,
+        llm_plans47,
+        llm_plans48,
         misc_plans,
         parity_plans,
         olap,
