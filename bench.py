@@ -186,6 +186,26 @@ BENCH_KEYS: list[str] = [
     "grouping_sets_report",
     "window_funnel_depth",
     "time_decayed_popularity",
+    "bandit_replay_eval",
+    "star_join_7way",
+    "dwell_time_by_type",
+    "mann_whitney_u",
+    "theil_sen_trend",
+    "acf_weekly_volume",
+    "count_min_sketch",
+    "matryoshka_recall",
+    "exact_median_two_pass",
+    "centroid_silhouette",
+    "heaps_law_fit",
+    "holt_winters_daily",
+    "containment_dedup",
+    "curriculum_interleave",
+    "seasonal_anomaly_flags",
+    "preference_pair_mining",
+    "source_kl_divergence",
+    # hits_trade_graph joins the excluded iterative set (5-round
+    # alternating loop — local timing measures scheduler overhead, not
+    # the operator; exactness carried by its unrolled-CTE oracle).
     # skill_communities joins trade_pagerank in the excluded iterative
     # set: a 5-round LPA loop over a lexicon-sized graph measures local
     # scheduler overhead, not the operator (exactness-tested instead).
