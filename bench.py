@@ -203,6 +203,9 @@ BENCH_KEYS: list[str] = [
     "seasonal_anomaly_flags",
     "preference_pair_mining",
     "source_kl_divergence",
+    "markov_attribution",
+    "cohort_ltv_curve",
+    "blocklist_filter",
     # hits_trade_graph joins the excluded iterative set (5-round
     # alternating loop — local timing measures scheduler overhead, not
     # the operator; exactness carried by its unrolled-CTE oracle).

@@ -89,6 +89,7 @@ def load_all() -> None:
         llm_plans46,
         llm_plans47,
         llm_plans48,
+        llm_plans49,
         misc_plans,
         parity_plans,
         olap,

@@ -1,0 +1,457 @@
+"""Forty-ninth sweep (SURVEY.md §2 B98-B99, C111).
+
+Markov-chain removal-effect attribution (the data-driven model that
+completes the attribution family: B47 last-touch, B73 U-shaped, B98
+counterfactual), the cohort LTV triangle, and a blocklist content
+filter for the corpus gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.rounding import round_eps, sql_round
+from ..functions.text import sql_tokens, tokens
+from ..operators.snapshot import monday_of
+from ..sources import load_table
+from . import register
+
+# ---------------------------------------------------------------- B98
+
+MK_CHANNELS = ("click", "error", "signup", "view")  # sorted; purchase = CONV
+MK_STATES = MK_CHANNELS + ("START",)
+MK_ITERS = 25  # absorption fixed-point steps (identical both engines)
+MK_VARIANTS = ("none",) + MK_CHANNELS
+
+
+def _mk_transitions_sql() -> str:
+    """Journey transition probabilities from the event log — first
+    purchase ends the journey (CONV); journeys without one absorb to
+    NULL from their last state."""
+    return """
+seq AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER w AS rn,
+         MIN(CASE WHEN event_type = 'purchase' THEN rn_i END)
+           OVER (PARTITION BY user_id) AS pn,
+         MAX(rn_i) OVER (PARTITION BY user_id) AS nmax,
+         LAG(event_type) OVER w AS prev
+  FROM (
+    SELECT user_id, event_type, ts, event_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS rn_i
+    FROM events
+  )
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+journey AS (
+  SELECT * FROM seq WHERE rn <= COALESCE(pn, nmax)
+),
+steps AS (
+  SELECT COALESCE(prev, 'START') AS f,
+         CASE WHEN event_type = 'purchase' THEN 'CONV'
+              ELSE event_type END AS t
+  FROM journey
+  UNION ALL
+  SELECT event_type AS f, 'NULL' AS t
+  FROM journey WHERE pn IS NULL AND rn = nmax
+),
+counts AS (
+  SELECT f, t, CAST(COUNT(*) AS BIGINT) AS c FROM steps GROUP BY 1, 2
+),
+base AS (
+  SELECT f, t, c * 1.0 / SUM(c) OVER (PARTITION BY f) AS p FROM counts
+)"""
+
+
+def _mk_oracle() -> str:
+    variants = ", ".join(f"'{v}'" for v in MK_VARIANTS)
+    states = ", ".join(
+        f"('{s}', {i + 1})" for i, s in enumerate(MK_STATES)
+    )
+    ps_cols = ", ".join(
+        f"SUM(CASE WHEN t = '{c}' THEN p ELSE 0 END)" for c in MK_CHANNELS
+    )
+    # ::DOUBLE[] is load-bearing: a bare [0.0, ...] literal types as
+    # DECIMAL(1,1) in DuckDB and the whole fold would quantise to ONE
+    # decimal place.
+    zero = "[" + ", ".join("0.0" for _ in MK_STATES) + "]::DOUBLE[]"
+    start_idx = len(MK_STATES)
+    return f"""
+WITH {_mk_transitions_sql().lstrip()},
+variants AS (SELECT unnest([{variants}]) AS variant),
+redirected AS (
+  SELECT v.variant, b.f,
+         CASE WHEN b.t = v.variant THEN 'NULL' ELSE b.t END AS t,
+         b.p
+  FROM base b CROSS JOIN variants v
+  WHERE b.f <> v.variant
+),
+grid AS (
+  SELECT v.variant, s.s, s.sidx
+  FROM variants v CROSS JOIN (VALUES {states}) AS s(s, sidx)
+),
+probs AS (
+  SELECT variant, f, [{ps_cols}] AS ps,
+         SUM(CASE WHEN t = 'CONV' THEN p ELSE 0 END) AS pc
+  FROM redirected GROUP BY 1, 2
+),
+m AS (
+  SELECT g.variant,
+         list(struct_pack(
+           ps := COALESCE(p.ps, ({zero})[1:{len(MK_CHANNELS)}]),
+           pc := COALESCE(p.pc, 0.0)) ORDER BY g.sidx) AS rows_
+  FROM grid g LEFT JOIN probs p ON g.variant = p.variant AND g.s = p.f
+  GROUP BY g.variant
+),
+solved AS (
+  SELECT variant,
+         list_reduce(
+           [{zero}] || list_transform(generate_series(1, {MK_ITERS}),
+                                      x -> {zero}),
+           (acc, q) -> list_transform(rows_,
+             r -> ROUND(r.pc + list_dot_product(r.ps,
+                        acc[1:{len(MK_CHANNELS)}]), 12))
+         )[{start_idx}] AS p_conv
+  FROM m
+),
+eff AS (
+  SELECT s.variant AS channel, b.p_conv AS p_base, s.p_conv AS p_removed,
+         (b.p_conv - s.p_conv) / b.p_conv AS effect
+  FROM solved s CROSS JOIN (
+    SELECT p_conv FROM solved WHERE variant = 'none') b
+  WHERE s.variant <> 'none'
+)
+SELECT channel, {sql_round('p_base', 6)} AS p_base,
+       {sql_round('p_removed', 6)} AS p_removed,
+       {sql_round('effect', 6)} AS removal_effect,
+       {sql_round('effect / SUM(effect) OVER ()', 6)} AS share
+FROM eff ORDER BY channel
+"""
+
+
+@register("markov_attribution", oracle=_mk_oracle())
+def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain removal-effect attribution (Anderl et al. 2016):
+    model user journeys START→channels→{{CONV,NULL}} as a first-order
+    chain, compute each channel's counterfactual removal effect
+    (relative drop in absorption probability when its state redirects
+    to NULL) and normalise to attribution shares — the data-driven
+    model completing B47 (last-touch) and B73 (position rules).
+
+    Scale shape: the ONLY corpus-volume work is one user-partitioned
+    window pass + one (from,to) count aggregate. The chain itself is a
+    ≤{len(MK_STATES)}-state matrix per variant, so absorption solves as
+    a {MK_ITERS}-step fixed point folded INSIDE one array expression
+    per variant row — no driver loop, no per-iteration job. The state
+    vector quantises to 12 dp each step, so both engines iterate
+    identical doubles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_all = Window.partitionBy("user_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w_user).alias("rn"),
+        F.lag("event_type").over(w_user).alias("prev"),
+    ).select(
+        "*",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("rn")))
+        .over(w_all)
+        .alias("pn"),
+        F.max("rn").over(w_all).alias("nmax"),
+    )
+    journey = seq.where(F.col("rn") <= F.coalesce("pn", "nmax"))
+    steps = journey.select(
+        F.coalesce("prev", F.lit("START")).alias("f"),
+        F.when(F.col("event_type") == "purchase", "CONV")
+        .otherwise(F.col("event_type"))
+        .alias("t"),
+    ).unionByName(
+        journey.where(F.col("pn").isNull() & (F.col("rn") == F.col("nmax")))
+        .select(F.col("event_type").alias("f"), F.lit("NULL").alias("t"))
+    )
+    counts = steps.groupBy("f", "t").agg(F.count(F.lit(1)).alias("c"))
+    base = counts.select(
+        "f",
+        "t",
+        (F.col("c") * 1.0 / F.sum("c").over(Window.partitionBy("f"))).alias("p"),
+    )
+    variants = spark.createDataFrame(
+        [(v,) for v in MK_VARIANTS], "variant string"
+    )
+    redirected = (
+        base.crossJoin(F.broadcast(variants))
+        .where(F.col("f") != F.col("variant"))
+        .select(
+            "variant",
+            "f",
+            F.when(F.col("t") == F.col("variant"), "NULL")
+            .otherwise(F.col("t"))
+            .alias("t"),
+            "p",
+        )
+    )
+    probs = redirected.groupBy("variant", "f").agg(
+        F.array(
+            *[
+                F.sum(F.when(F.col("t") == c, F.col("p")).otherwise(0.0))
+                for c in MK_CHANNELS
+            ]
+        ).alias("ps"),
+        F.sum(F.when(F.col("t") == "CONV", F.col("p")).otherwise(0.0)).alias(
+            "pc"
+        ),
+    )
+    grid = spark.createDataFrame(
+        [(v, s, i + 1) for v in MK_VARIANTS for i, s in enumerate(MK_STATES)],
+        "variant string, s string, sidx int",
+    )
+    zero_ps = F.array_repeat(F.lit(0.0), len(MK_CHANNELS))
+    m = (
+        grid.join(
+            probs,
+            (grid.variant == probs.variant) & (grid.s == probs.f),
+            "left",
+        )
+        .select(
+            grid.variant.alias("variant"),
+            "sidx",
+            F.coalesce("ps", zero_ps).alias("ps"),
+            F.coalesce("pc", F.lit(0.0)).alias("pc"),
+        )
+        .groupBy("variant")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("sidx", "ps", "pc"))
+            ).alias("rows_s")
+        )
+        .select(
+            "variant",
+            F.transform(
+                "rows_s", lambda r: F.struct(r["ps"].alias("ps"), r["pc"].alias("pc"))
+            ).alias("rows_"),
+        )
+    )
+    zero_v = F.array_repeat(F.lit(0.0), len(MK_STATES))
+
+    def dot(ps, acc):
+        return F.aggregate(
+            F.zip_with(ps, acc, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    folded = F.aggregate(
+        F.sequence(F.lit(1), F.lit(MK_ITERS)),
+        zero_v,
+        lambda acc, _: F.transform(
+            F.col("rows_"),
+            lambda r: F.round(
+                r["pc"] + dot(r["ps"], F.slice(acc, 1, len(MK_CHANNELS))), 12
+            ),
+        ),
+    )
+    solved = m.select(
+        "variant", F.element_at(folded, len(MK_STATES)).alias("p_conv")
+    )
+    base_p = solved.where(F.col("variant") == "none").select(
+        F.col("p_conv").alias("p_base")
+    )
+    eff = (
+        solved.where(F.col("variant") != "none")
+        .crossJoin(F.broadcast(base_p))
+        .select(
+            F.col("variant").alias("channel"),
+            "p_base",
+            F.col("p_conv").alias("p_removed"),
+            ((F.col("p_base") - F.col("p_conv")) / F.col("p_base")).alias(
+                "effect"
+            ),
+        )
+    )
+    return eff.select(
+        "channel",
+        round_eps(F.col("p_base"), 6).alias("p_base"),
+        round_eps(F.col("p_removed"), 6).alias("p_removed"),
+        round_eps(F.col("effect"), 6).alias("removal_effect"),
+        round_eps(
+            F.col("effect") / F.sum("effect").over(Window.partitionBy()), 6
+        ).alias("share"),
+    ).orderBy("channel")
+
+
+# ---------------------------------------------------------------- B99
+
+_B99_ORACLE = f"""
+WITH cohorts AS (
+  SELECT user_id, date_trunc('week', MIN(ts))::DATE AS cohort
+  FROM events GROUP BY user_id
+),
+horizon AS (
+  SELECT date_trunc('week', MAX(ts))::DATE AS max_week FROM events
+),
+cohort_size AS (
+  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM cohorts GROUP BY cohort
+),
+purchases AS (
+  SELECT c.cohort,
+         CAST(datediff('day', c.cohort, date_trunc('week', e.ts)::DATE) / 7
+              AS BIGINT) AS age,
+         CAST(ROUND(e.value * 10000) AS BIGINT) AS v4
+  FROM events e JOIN cohorts c USING (user_id)
+  WHERE e.event_type = 'purchase'
+),
+cells AS (
+  SELECT cohort, age, SUM(v4) AS v4 FROM purchases GROUP BY 1, 2
+),
+dense AS (
+  SELECT cs.cohort, cs.n_users, a.age
+  FROM cohort_size cs CROSS JOIN horizon h,
+       unnest(generate_series(0,
+         CAST(datediff('day', cs.cohort, h.max_week) / 7 AS BIGINT))) AS a(age)
+),
+cum AS (
+  SELECT d.cohort, d.age, d.n_users,
+         SUM(COALESCE(c.v4, 0)) OVER (
+           PARTITION BY d.cohort ORDER BY d.age
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum4
+  FROM dense d LEFT JOIN cells c ON d.cohort = c.cohort AND d.age = c.age
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort, age, n_users,
+       {sql_round('cum4 / 1e4 / n_users', 4)} AS ltv_per_user
+FROM cum ORDER BY cohort, age
+"""
+
+
+@register("cohort_ltv_curve", oracle=_B99_ORACLE)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: users cohorted by first-event week,
+    cumulative purchase value per user by week-age, each cohort
+    observed only to its own horizon (the ragged edge) — the
+    unit-economics complement of B8's retention triangle and B82's
+    growth accounting.
+
+    Scale shape: one user-grain MIN aggregate (cohorts), one purchase
+    aggregate to (cohort, age) cells; the dense age grid explodes from
+    the |cohorts|-row dim against a 1-row horizon scalar, and the
+    cumulative window runs on that dimension-scale frame. Values in
+    exact 1e-4 integer units until the final division.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        monday_of(F.min("ts")).alias("cohort")
+    )
+    horizon = ev.agg(monday_of(F.max("ts")).alias("max_week"))
+    cohort_size = cohorts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(cohorts, "user_id")
+        .select(
+            "cohort",
+            (F.datediff(monday_of(F.col("ts")), F.col("cohort")) / 7)
+            .cast("bigint")
+            .alias("age"),
+            F.round(F.col("value") * 10000).cast("bigint").alias("v4"),
+        )
+    )
+    cells = purchases.groupBy("cohort", "age").agg(F.sum("v4").alias("v4"))
+    dense = (
+        cohort_size.crossJoin(F.broadcast(horizon))
+        .select(
+            "cohort",
+            "n_users",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    (F.datediff("max_week", F.col("cohort")) / 7).cast(
+                        "bigint"
+                    ),
+                )
+            ).alias("age"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        dense.join(cells, ["cohort", "age"], "left")
+        .select(
+            "cohort",
+            "age",
+            "n_users",
+            F.sum(F.coalesce("v4", F.lit(0))).over(w_cum).alias("cum4"),
+        )
+    )
+    return cum.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+        "age",
+        "n_users",
+        round_eps(F.col("cum4") / 1e4 / F.col("n_users"), 4).alias(
+            "ltv_per_user"
+        ),
+    ).orderBy("cohort", "age")
+
+
+# ---------------------------------------------------------------- C111
+
+BLOCK_TERMS = ("slow", "big", "stream")  # word-boundary blocklist
+
+
+_BLOCK_IN = ", ".join(f"'{t}'" for t in BLOCK_TERMS)
+
+_C111_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         len(list_filter({sql_tokens('text')}, t -> t IN ({_BLOCK_IN})))
+           AS n_hits,
+         list_sort(list_distinct(
+           list_filter({sql_tokens('text')}, t -> t IN ({_BLOCK_IN}))))
+           AS hits
+  FROM documents
+)
+SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+       CASE WHEN n_hits > 0 THEN hits[1] END AS first_term,
+       CASE WHEN n_hits = 0 THEN 1 ELSE 0 END AS keep
+FROM scored ORDER BY doc_id
+"""
+
+
+@register("blocklist_filter", oracle=_C111_ORACLE)
+def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-token blocklist content filter with an audit trail
+    (hit count + first matched term) — the unsafe-content gate of the
+    corpus cascade, next to C20's PII scrub (regex redaction) and
+    C27's quality gate. Exact token membership, not substring: 'bigram'
+    must NOT trip 'big'.
+
+    Scale shape: pure per-row array expressions — tokenise, filter
+    against a {len(BLOCK_TERMS)}-term literal set, count + pick — ZERO
+    shuffles, fully codegen; the blocklist scales to millions of terms
+    by swapping the literal for a broadcast join at token grain.
+    """
+    toks = tokens(F.col("text"))
+    hits = F.array_sort(
+        F.array_distinct(F.filter(toks, lambda t: t.isin(*BLOCK_TERMS)))
+    )
+    n_hits = F.size(F.filter(toks, lambda t: t.isin(*BLOCK_TERMS)))
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            n_hits.cast("bigint").alias("n_hits"),
+            F.when(n_hits > 0, F.element_at(hits, 1)).alias("first_term"),
+            F.when(n_hits == 0, 1).otherwise(0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
