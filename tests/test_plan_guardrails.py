@@ -47,6 +47,7 @@ ARROW_OK = {
     "semdedup",
     "text_dedup_pipeline",
     "vectorise_stub",
+    "matryoshka_recall",  # streaming-BLAS prefix-dim top-k kernel (C53's shape)
 }
 
 # BroadcastNestedLoopJoin: broadcast scalar / tiny-dim attaches with
@@ -83,6 +84,14 @@ BNLJ_OK = {
     "kmeans_lloyd",  # broadcast K-row codebook attach per Lloyd round
     "bootstrap_ci_mean",  # broadcast 1-row CI-quantile attach
     "bm25_ranking",  # broadcast 1-row corpus-stats attach
+    "theil_sen_trend",  # broadcast 1-row slope frame onto the |weeks| dim
+    "acf_weekly_volume",  # banded self-join of the |weeks| dim (range cond)
+    "exact_median_two_pass",  # 2-row order-statistic positions × |buckets| hist
+    "centroid_silhouette",  # broadcast |labels|-row centroid table attach
+    "seasonal_anomaly_flags",  # broadcast 1-row residual-stats attach
+    "source_kl_divergence",  # broadcast 1-row corpus-total/vocab attach
+    "markov_attribution",  # broadcast variant-literal + 1-row base-prob attach
+    "cohort_ltv_curve",  # broadcast 1-row horizon-scalar attach
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
