@@ -206,6 +206,8 @@ BENCH_KEYS: list[str] = [
     "markov_attribution",
     "cohort_ltv_curve",
     "blocklist_filter",
+    "grouped_median_two_pass",
+    "lsh_bucket_stats",
     # hits_trade_graph joins the excluded iterative set (5-round
     # alternating loop — local timing measures scheduler overhead, not
     # the operator; exactness carried by its unrolled-CTE oracle).

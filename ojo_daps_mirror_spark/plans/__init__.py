@@ -90,6 +90,7 @@ def load_all() -> None:
         llm_plans47,
         llm_plans48,
         llm_plans49,
+        llm_plans50,
         misc_plans,
         parity_plans,
         olap,
