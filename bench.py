@@ -208,6 +208,9 @@ BENCH_KEYS: list[str] = [
     "blocklist_filter",
     "grouped_median_two_pass",
     "lsh_bucket_stats",
+    "join_skew_report",
+    "join_cardinality_probe",
+    "pack_with_boundaries",
     # hits_trade_graph joins the excluded iterative set (5-round
     # alternating loop — local timing measures scheduler overhead, not
     # the operator; exactness carried by its unrolled-CTE oracle).

@@ -91,6 +91,7 @@ def load_all() -> None:
         llm_plans48,
         llm_plans49,
         llm_plans50,
+        llm_plans51,
         misc_plans,
         parity_plans,
         olap,

@@ -92,6 +92,7 @@ BNLJ_OK = {
     "source_kl_divergence",  # broadcast 1-row corpus-total/vocab attach
     "markov_attribution",  # broadcast variant-literal + 1-row base-prob attach
     "cohort_ltv_curve",  # broadcast 1-row horizon-scalar attach
+    "join_cardinality_probe",  # broadcast 1-row actual-count audit attach
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
