@@ -211,6 +211,12 @@ BENCH_KEYS: list[str] = [
     "join_skew_report",
     "join_cardinality_probe",
     "pack_with_boundaries",
+    "mmr_diverse_topk",
+    "negative_sampling_table",
+    # ndcg_eval stays off the headline set: it is the declared
+    # all-pairs eval harness (C8's contract); the production ranking
+    # path is C53's streaming kernel, benched via ann_topk_blocked /
+    # knn_label_eval.
     # hits_trade_graph joins the excluded iterative set (5-round
     # alternating loop — local timing measures scheduler overhead, not
     # the operator; exactness carried by its unrolled-CTE oracle).

@@ -92,6 +92,7 @@ def load_all() -> None:
         llm_plans49,
         llm_plans50,
         llm_plans51,
+        llm_plans52,
         misc_plans,
         parity_plans,
         olap,

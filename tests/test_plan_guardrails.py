@@ -93,6 +93,9 @@ BNLJ_OK = {
     "markov_attribution",  # broadcast variant-literal + 1-row base-prob attach
     "cohort_ltv_curve",  # broadcast 1-row horizon-scalar attach
     "join_cardinality_probe",  # broadcast 1-row actual-count audit attach
+    "mmr_diverse_topk",  # broadcast 1-row query-vector attach
+    "negative_sampling_table",  # broadcast 1-row weight-total attach
+    "ndcg_eval",  # declared all-pairs eval harness (C8's contract)
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
