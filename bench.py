@@ -213,6 +213,9 @@ BENCH_KEYS: list[str] = [
     "pack_with_boundaries",
     "mmr_diverse_topk",
     "negative_sampling_table",
+    "isotonic_calibration",
+    "session_entry_exit",
+    "unigram_entropy",
     # ndcg_eval stays off the headline set: it is the declared
     # all-pairs eval harness (C8's contract); the production ranking
     # path is C53's streaming kernel, benched via ann_topk_blocked /

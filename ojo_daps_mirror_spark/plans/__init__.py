@@ -93,6 +93,7 @@ def load_all() -> None:
         llm_plans50,
         llm_plans51,
         llm_plans52,
+        llm_plans53,
         misc_plans,
         parity_plans,
         olap,
