@@ -216,6 +216,10 @@ BENCH_KEYS: list[str] = [
     "isotonic_calibration",
     "session_entry_exit",
     "unigram_entropy",
+    "order_reconciliation",
+    "date_dimension_build",
+    # golden_record joins the excluded iterative set (CC driver loop
+    # over linkage clusters — local timing measures scheduler rounds).
     # ndcg_eval stays off the headline set: it is the declared
     # all-pairs eval harness (C8's contract); the production ranking
     # path is C53's streaming kernel, benched via ann_topk_blocked /

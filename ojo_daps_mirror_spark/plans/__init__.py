@@ -94,6 +94,7 @@ def load_all() -> None:
         llm_plans51,
         llm_plans52,
         llm_plans53,
+        llm_plans54,
         misc_plans,
         parity_plans,
         olap,
