@@ -218,6 +218,9 @@ BENCH_KEYS: list[str] = [
     "unigram_entropy",
     "order_reconciliation",
     "date_dimension_build",
+    "sprt_sequential_test",
+    "backfill_plan",
+    "quadkey_rollup",
     # golden_record joins the excluded iterative set (CC driver loop
     # over linkage clusters — local timing measures scheduler rounds).
     # ndcg_eval stays off the headline set: it is the declared

@@ -95,6 +95,7 @@ def load_all() -> None:
         llm_plans52,
         llm_plans53,
         llm_plans54,
+        llm_plans55,
         misc_plans,
         parity_plans,
         olap,

@@ -96,6 +96,7 @@ BNLJ_OK = {
     "mmr_diverse_topk",  # broadcast 1-row query-vector attach
     "negative_sampling_table",  # broadcast 1-row weight-total attach
     "ndcg_eval",  # declared all-pairs eval harness (C8's contract)
+    "backfill_plan",  # broadcast 1-row p25-threshold attach
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
