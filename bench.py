@@ -221,6 +221,9 @@ BENCH_KEYS: list[str] = [
     "sprt_sequential_test",
     "backfill_plan",
     "quadkey_rollup",
+    "abc_classification",
+    "index_shard_plan",
+    "threshold_sensitivity_audit",
     # golden_record joins the excluded iterative set (CC driver loop
     # over linkage clusters — local timing measures scheduler rounds).
     # ndcg_eval stays off the headline set: it is the declared

@@ -96,6 +96,7 @@ def load_all() -> None:
         llm_plans53,
         llm_plans54,
         llm_plans55,
+        llm_plans56,
         misc_plans,
         parity_plans,
         olap,

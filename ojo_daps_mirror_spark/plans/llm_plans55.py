@@ -308,3 +308,13 @@ def quadkey_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zoom", "cell")
     )
+
+
+def quadkey_cells(spark: SparkSession, sf_dir: str, zoom: int) -> DataFrame:
+    """(cell, n_points) at one zoom level — C119's key derivation
+    shared with the C120 shard planner."""
+    df = quadkey_rollup(spark, sf_dir)
+    return (
+        df.where(F.col("zoom") == zoom)
+        .select("cell", F.col("n_points").alias("n"))
+    )

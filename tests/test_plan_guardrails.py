@@ -97,6 +97,8 @@ BNLJ_OK = {
     "negative_sampling_table",  # broadcast 1-row weight-total attach
     "ndcg_eval",  # declared all-pairs eval harness (C8's contract)
     "backfill_plan",  # broadcast 1-row p25-threshold attach
+    "abc_classification",  # broadcast 1-row revenue-total attach
+    "index_shard_plan",  # broadcast 1-row point-total attach
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
