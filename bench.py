@@ -224,6 +224,9 @@ BENCH_KEYS: list[str] = [
     "abc_classification",
     "index_shard_plan",
     "threshold_sensitivity_audit",
+    "calibration_reliability",
+    "importance_weight_ess",
+    "sequence_mining_3seq",
     # golden_record joins the excluded iterative set (CC driver loop
     # over linkage clusters — local timing measures scheduler rounds).
     # ndcg_eval stays off the headline set: it is the declared

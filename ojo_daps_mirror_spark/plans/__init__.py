@@ -97,6 +97,7 @@ def load_all() -> None:
         llm_plans54,
         llm_plans55,
         llm_plans56,
+        llm_plans57,
         misc_plans,
         parity_plans,
         olap,

@@ -99,6 +99,8 @@ BNLJ_OK = {
     "backfill_plan",  # broadcast 1-row p25-threshold attach
     "abc_classification",  # broadcast 1-row revenue-total attach
     "index_shard_plan",  # broadcast 1-row point-total attach
+    "calibration_reliability",  # broadcast 1-row Brier-total attach
+    "sequence_mining_3seq",  # broadcast 1-row user-total attach
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
