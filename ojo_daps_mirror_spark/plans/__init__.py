@@ -98,6 +98,8 @@ def load_all() -> None:
         llm_plans55,
         llm_plans56,
         llm_plans57,
+        llm_plans58,
+        llm_plans59,
         misc_plans,
         parity_plans,
         olap,
