@@ -100,6 +100,7 @@ def load_all() -> None:
         llm_plans57,
         llm_plans58,
         llm_plans59,
+        llm_plans60,
         misc_plans,
         parity_plans,
         olap,
