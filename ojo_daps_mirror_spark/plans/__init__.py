@@ -101,6 +101,7 @@ def load_all() -> None:
         llm_plans58,
         llm_plans59,
         llm_plans60,
+        llm_plans61,
         misc_plans,
         parity_plans,
         olap,
