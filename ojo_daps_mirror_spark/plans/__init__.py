@@ -102,6 +102,7 @@ def load_all() -> None:
         llm_plans59,
         llm_plans60,
         llm_plans61,
+        llm_plans62,
         misc_plans,
         parity_plans,
         olap,
