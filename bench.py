@@ -227,6 +227,26 @@ BENCH_KEYS: list[str] = [
     "calibration_reliability",
     "importance_weight_ess",
     "sequence_mining_3seq",
+    "k_anonymity_audit",
+    "psi_drift",
+    "rendezvous_shard_map",
+    "roc_auc_points",
+    "rolling_origin_backtest",
+    "zipf_slope_fit",
+    "conformal_interval",
+    "quantile_normalization",
+    "fdr_bh_correction",
+    "dp_noisy_counts",
+    "ht_sample_estimate",
+    "peak_concurrency",
+    "mst_kruskal_fold",
+    "ctfidf_cluster_terms",
+    "hodges_lehmann",
+    "xcorr_lead_lag",
+    "forget_user_cascade",
+    # sssp_bellman_ford joins the excluded iterative set (4-round
+    # relaxation driver loop — local timing measures scheduler rounds;
+    # exactness carried by its unrolled-CTE oracle).
     # golden_record joins the excluded iterative set (CC driver loop
     # over linkage clusters — local timing measures scheduler rounds).
     # ndcg_eval stays off the headline set: it is the declared

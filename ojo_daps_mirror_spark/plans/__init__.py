@@ -103,6 +103,7 @@ def load_all() -> None:
         llm_plans60,
         llm_plans61,
         llm_plans62,
+        llm_plans63,
         misc_plans,
         parity_plans,
         olap,
