@@ -244,6 +244,9 @@ BENCH_KEYS: list[str] = [
     "hodges_lehmann",
     "xcorr_lead_lag",
     "forget_user_cascade",
+    "relational_division",
+    "hash_collision_audit",
+    "embedding_centroid_drift",
     # sssp_bellman_ford joins the excluded iterative set (4-round
     # relaxation driver loop — local timing measures scheduler rounds;
     # exactness carried by its unrolled-CTE oracle).

@@ -104,6 +104,7 @@ def load_all() -> None:
         llm_plans61,
         llm_plans62,
         llm_plans63,
+        llm_plans64,
         misc_plans,
         parity_plans,
         olap,
