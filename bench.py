@@ -247,6 +247,9 @@ BENCH_KEYS: list[str] = [
     "relational_division",
     "hash_collision_audit",
     "embedding_centroid_drift",
+    "compaction_plan",
+    "weighted_median",
+    "minhash_perturbation_audit",
     # sssp_bellman_ford joins the excluded iterative set (4-round
     # relaxation driver loop — local timing measures scheduler rounds;
     # exactness carried by its unrolled-CTE oracle).

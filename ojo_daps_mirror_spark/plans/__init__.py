@@ -105,6 +105,7 @@ def load_all() -> None:
         llm_plans62,
         llm_plans63,
         llm_plans64,
+        llm_plans65,
         misc_plans,
         parity_plans,
         olap,
