@@ -250,6 +250,9 @@ BENCH_KEYS: list[str] = [
     "compaction_plan",
     "weighted_median",
     "minhash_perturbation_audit",
+    "hilbert_key",
+    "range_partition_plan",
+    "fano_burstiness",
     # sssp_bellman_ford joins the excluded iterative set (4-round
     # relaxation driver loop — local timing measures scheduler rounds;
     # exactness carried by its unrolled-CTE oracle).

@@ -106,6 +106,7 @@ def load_all() -> None:
         llm_plans63,
         llm_plans64,
         llm_plans65,
+        llm_plans66,
         misc_plans,
         parity_plans,
         olap,
