@@ -253,6 +253,9 @@ BENCH_KEYS: list[str] = [
     "hilbert_key",
     "range_partition_plan",
     "fano_burstiness",
+    "qini_uplift_curve",
+    "pass_at_k",
+    "degree_assortativity",
     # sssp_bellman_ford joins the excluded iterative set (4-round
     # relaxation driver loop — local timing measures scheduler rounds;
     # exactness carried by its unrolled-CTE oracle).

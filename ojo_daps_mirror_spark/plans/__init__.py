@@ -107,6 +107,7 @@ def load_all() -> None:
         llm_plans64,
         llm_plans65,
         llm_plans66,
+        llm_plans67,
         misc_plans,
         parity_plans,
         olap,
