@@ -127,9 +127,17 @@ def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.pow(F.sin(dlmb), 2)
         )
     )
+    # Cheap bounding-box prefilter ahead of the haversine: 25 km is
+    # ≤ 0.23° of latitude and ≤ 0.36° of longitude at 55°N, so the
+    # coarse |Δ| cut (with slack) drops most co-cell candidates before
+    # any trig runs. The exact predicate below is unchanged.
+    bbox = (
+        (F.abs(F.col("lat2") - F.col("lat1")) <= GEO_RADIUS_KM / 110.0)
+        & (F.abs(F.col("lon2") - F.col("lon1")) <= GEO_RADIUS_KM / 55.0)
+    )
     return (
         probe.join(build, ["cy", "cx"])
-        .where(F.col("id1") < F.col("id2"))
+        .where((F.col("id1") < F.col("id2")) & bbox)
         .select("id1", "id2", round_eps(d, 2).alias("dist_km"))
         .where(F.col("dist_km") <= GEO_RADIUS_KM)
     )

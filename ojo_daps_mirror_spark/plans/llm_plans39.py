@@ -82,7 +82,11 @@ def recursive_nation_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE s.s_nationkey <> c.c_nationkey
         """
     )
-    edges.createOrReplaceTempView("trade_edges")
+    # Materialise the edge list before recursing: the recursive CTE
+    # joins the view per iteration step, and an unmaterialised view
+    # re-executes the 4-way fact join each time (4× the scan work at
+    # depth 3). The checkpointed 25²-row frame makes recursion free.
+    edges.localCheckpoint(eager=True).createOrReplaceTempView("trade_edges")
     return spark.sql(_B78_RECURSIVE)
 
 
