@@ -256,6 +256,9 @@ BENCH_KEYS: list[str] = [
     "qini_uplift_curve",
     "pass_at_k",
     "degree_assortativity",
+    "haar_energy",
+    "ece_summary",
+    "cohens_kappa",
     # sssp_bellman_ford joins the excluded iterative set (4-round
     # relaxation driver loop — local timing measures scheduler rounds;
     # exactness carried by its unrolled-CTE oracle).

@@ -108,6 +108,7 @@ def load_all() -> None:
         llm_plans65,
         llm_plans66,
         llm_plans67,
+        llm_plans68,
         misc_plans,
         parity_plans,
         olap,

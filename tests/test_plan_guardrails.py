@@ -101,6 +101,18 @@ BNLJ_OK = {
     "index_shard_plan",  # broadcast 1-row point-total attach
     "calibration_reliability",  # broadcast 1-row Brier-total attach
     "sequence_mining_3seq",  # broadcast 1-row user-total attach
+    "psi_drift",  # broadcast base-histogram + 1-row corpus-total attaches
+    "roc_auc_points",  # broadcast 1-row rank-sum-totals attach
+    "quantile_normalization",  # broadcast 1-row global-N attach
+    "fdr_bh_correction",  # broadcast 1-row global-proportion attach
+    "ctfidf_cluster_terms",  # broadcast 1-row avg-class-size attach
+    "hodges_lehmann",  # banded |weeks|-dim self-join (wa<=wb) + 1-row attach
+    "xcorr_lead_lag",  # broadcast 9-row lag-dim attach onto the |days| frame
+    "relational_division",  # broadcast 1-row divisor-count attach
+    "hilbert_key",  # 4-adjacency self-join of the bounded (≤4096) cell dim
+    "range_partition_plan",  # broadcast 1-row boundary-array attach
+    "degree_assortativity",  # broadcast 1-row edge-threshold attach
+    "cohens_kappa",  # broadcast 1-row expected-agreement attach
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
