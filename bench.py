@@ -259,6 +259,9 @@ BENCH_KEYS: list[str] = [
     "haar_energy",
     "ece_summary",
     "cohens_kappa",
+    "top_with_other_rollup",
+    "kfold_cv_variance",
+    "ingest_ledger_audit",
     # sssp_bellman_ford joins the excluded iterative set (4-round
     # relaxation driver loop — local timing measures scheduler rounds;
     # exactness carried by its unrolled-CTE oracle).

@@ -109,6 +109,7 @@ def load_all() -> None:
         llm_plans66,
         llm_plans67,
         llm_plans68,
+        llm_plans69,
         misc_plans,
         parity_plans,
         olap,

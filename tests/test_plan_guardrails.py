@@ -113,6 +113,8 @@ BNLJ_OK = {
     "range_partition_plan",  # broadcast 1-row boundary-array attach
     "degree_assortativity",  # broadcast 1-row edge-threshold attach
     "cohens_kappa",  # broadcast 1-row expected-agreement attach
+    "top_with_other_rollup",  # broadcast 1-row revenue-total attach
+    "kfold_cv_variance",  # broadcast 1-row global-sufficient-stats attach
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
