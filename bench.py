@@ -262,6 +262,9 @@ BENCH_KEYS: list[str] = [
     "top_with_other_rollup",
     "kfold_cv_variance",
     "ingest_ledger_audit",
+    "simpson_paradox_audit",
+    "context_length_frontier",
+    "isotropy_score",
     # sssp_bellman_ford joins the excluded iterative set (4-round
     # relaxation driver loop — local timing measures scheduler rounds;
     # exactness carried by its unrolled-CTE oracle).

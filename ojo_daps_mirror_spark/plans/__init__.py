@@ -110,6 +110,7 @@ def load_all() -> None:
         llm_plans67,
         llm_plans68,
         llm_plans69,
+        llm_plans70,
         misc_plans,
         parity_plans,
         olap,

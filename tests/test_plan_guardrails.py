@@ -115,6 +115,7 @@ BNLJ_OK = {
     "cohens_kappa",  # broadcast 1-row expected-agreement attach
     "top_with_other_rollup",  # broadcast 1-row revenue-total attach
     "kfold_cv_variance",  # broadcast 1-row global-sufficient-stats attach
+    "simpson_paradox_audit",  # broadcast 1-row pooled-sufficient-stats attach
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
