@@ -265,6 +265,9 @@ BENCH_KEYS: list[str] = [
     "simpson_paradox_audit",
     "context_length_frontier",
     "isotropy_score",
+    "journey_entropy_rate",
+    "oov_rate_by_source",
+    "rank_overlap_rbo",
     # sssp_bellman_ford joins the excluded iterative set (4-round
     # relaxation driver loop — local timing measures scheduler rounds;
     # exactness carried by its unrolled-CTE oracle).

@@ -111,6 +111,7 @@ def load_all() -> None:
         llm_plans68,
         llm_plans69,
         llm_plans70,
+        llm_plans71,
         misc_plans,
         parity_plans,
         olap,

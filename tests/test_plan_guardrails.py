@@ -116,6 +116,8 @@ BNLJ_OK = {
     "top_with_other_rollup",  # broadcast 1-row revenue-total attach
     "kfold_cv_variance",  # broadcast 1-row global-sufficient-stats attach
     "simpson_paradox_audit",  # broadcast 1-row pooled-sufficient-stats attach
+    "journey_entropy_rate",  # broadcast 1-row transition-total attach
+    "rank_overlap_rbo",  # broadcast 10-row depth-grid attach per source
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
