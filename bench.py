@@ -268,6 +268,11 @@ BENCH_KEYS: list[str] = [
     "journey_entropy_rate",
     "oov_rate_by_source",
     "rank_overlap_rbo",
+    "new_vs_returning_revenue",
+    "ql_dirichlet_ranking",
+    # dup_cluster_size_dist joins the excluded iterative set (CC driver
+    # loop over the near-dup graph — local timing measures scheduler
+    # rounds; the C5 front end is benched via dedup_minhash_lsh).
     # sssp_bellman_ford joins the excluded iterative set (4-round
     # relaxation driver loop — local timing measures scheduler rounds;
     # exactness carried by its unrolled-CTE oracle).

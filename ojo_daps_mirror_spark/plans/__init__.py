@@ -112,6 +112,7 @@ def load_all() -> None:
         llm_plans69,
         llm_plans70,
         llm_plans71,
+        llm_plans72,
         misc_plans,
         parity_plans,
         olap,

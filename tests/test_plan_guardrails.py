@@ -118,6 +118,7 @@ BNLJ_OK = {
     "simpson_paradox_audit",  # broadcast 1-row pooled-sufficient-stats attach
     "journey_entropy_rate",  # broadcast 1-row transition-total attach
     "rank_overlap_rbo",  # broadcast 10-row depth-grid attach per source
+    "ql_dirichlet_ranking",  # broadcast 3-row query-dim + 1-row corpus attach
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
