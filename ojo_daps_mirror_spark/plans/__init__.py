@@ -113,6 +113,10 @@ def load_all() -> None:
         llm_plans70,
         llm_plans71,
         llm_plans72,
+        llm_plans73,
+        llm_plans74,
+        llm_plans75,
+        llm_plans76,
         misc_plans,
         parity_plans,
         olap,

@@ -36,11 +36,17 @@ def _normalise(rows, columns):
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     sf = "/root/testdata/sf0.01"
-    for i, a in enumerate(sys.argv[1:]):
-        if a == "--sf":
-            sf = sys.argv[2 + i]
+    args = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--sf":
+            sf = argv[i + 1]
+            i += 2
+        else:
+            args.append(argv[i])
+            i += 1
     spark = get_spark(app_name="verify-keys", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:

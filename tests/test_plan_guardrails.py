@@ -54,6 +54,11 @@ ARROW_OK = {
 # range or true predicates, plus the declared brute-force ANN baseline.
 BNLJ_OK = {
     "ann_topk_bruteforce",  # exact all-pairs baseline BY DESIGN
+    "theil_decomposition",  # broadcast 1-row totals attach to |groups| rows
+    "rmst_summary",  # broadcast 1-row head-segment attach to 1-row tail
+    "weighted_jaccard_dedup",  # broadcast 1-row corpus-size attach
+    "kruskal_wallis",  # broadcast 1-row tie-correction attach to 1-row stats
+    "lang_label_noise",  # broadcast 1-row corpus-total attach to 1-row stats
     "dormant_rich_customers",  # broadcast scalar avg-balance threshold
     "important_part_value",  # broadcast scalar share threshold
     "near_dup_adaptive",  # broadcast window dim, range condition
