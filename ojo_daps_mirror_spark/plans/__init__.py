@@ -117,6 +117,8 @@ def load_all() -> None:
         llm_plans74,
         llm_plans75,
         llm_plans76,
+        llm_plans77,
+        llm_plans78,
         misc_plans,
         parity_plans,
         olap,
