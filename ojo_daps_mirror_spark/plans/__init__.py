@@ -119,6 +119,7 @@ def load_all() -> None:
         llm_plans76,
         llm_plans77,
         llm_plans78,
+        llm_plans79,
         misc_plans,
         parity_plans,
         olap,
