@@ -120,6 +120,7 @@ def load_all() -> None:
         llm_plans77,
         llm_plans78,
         llm_plans79,
+        llm_plans80,
         misc_plans,
         parity_plans,
         olap,
