@@ -121,6 +121,8 @@ def load_all() -> None:
         llm_plans78,
         llm_plans79,
         llm_plans80,
+        llm_plans81,
+        llm_plans82,
         misc_plans,
         parity_plans,
         olap,

@@ -124,6 +124,8 @@ BNLJ_OK = {
     "journey_entropy_rate",  # broadcast 1-row transition-total attach
     "rank_overlap_rbo",  # broadcast 10-row depth-grid attach per source
     "ql_dirichlet_ranking",  # broadcast 3-row query-dim + 1-row corpus attach
+    "little_law_audit",  # broadcast 1-row occupancy-integral attach to 1-row stats
+    "kendall_tau_b",  # broadcast 1-row tie-term attaches to 1-row stats
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
