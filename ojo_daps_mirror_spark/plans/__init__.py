@@ -123,6 +123,7 @@ def load_all() -> None:
         llm_plans80,
         llm_plans81,
         llm_plans82,
+        llm_plans83,
         misc_plans,
         parity_plans,
         olap,

@@ -126,6 +126,7 @@ BNLJ_OK = {
     "ql_dirichlet_ranking",  # broadcast 3-row query-dim + 1-row corpus attach
     "little_law_audit",  # broadcast 1-row occupancy-integral attach to 1-row stats
     "kendall_tau_b",  # broadcast 1-row tie-term attaches to 1-row stats
+    "mann_kendall_trend",  # banded |weeks|-dim self-join + 1-row attaches
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
