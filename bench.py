@@ -294,6 +294,11 @@ BENCH_KEYS: list[str] = [
     # measures the harness, not the operator. Same treatment as the
     # iterative dedup_components loop (benched only inside
     # text_dedup_pipeline).
+    "winnowing_fingerprints",
+    "chunk_dedup_rate",
+    "ngram_novelty_curve",
+    "prefix_cache_hit_rate",
+    "hapax_profile",
 ]
 
 

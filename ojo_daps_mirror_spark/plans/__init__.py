@@ -124,6 +124,7 @@ def load_all() -> None:
         llm_plans81,
         llm_plans82,
         llm_plans83,
+        llm_plans84,
         misc_plans,
         parity_plans,
         olap,

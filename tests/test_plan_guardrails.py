@@ -127,6 +127,7 @@ BNLJ_OK = {
     "little_law_audit",  # broadcast 1-row occupancy-integral attach to 1-row stats
     "kendall_tau_b",  # broadcast 1-row tie-term attaches to 1-row stats
     "mann_kendall_trend",  # banded |weeks|-dim self-join + 1-row attaches
+    "holdout_bigram_ppl",  # broadcast 1-row vocab-size attach (bm25's pattern)
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
