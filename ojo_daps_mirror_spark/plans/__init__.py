@@ -125,6 +125,7 @@ def load_all() -> None:
         llm_plans82,
         llm_plans83,
         llm_plans84,
+        llm_plans85,
         misc_plans,
         parity_plans,
         olap,
