@@ -126,6 +126,7 @@ def load_all() -> None:
         llm_plans83,
         llm_plans84,
         llm_plans85,
+        llm_plans86,
         misc_plans,
         parity_plans,
         olap,

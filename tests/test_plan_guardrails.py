@@ -129,6 +129,7 @@ BNLJ_OK = {
     "mann_kendall_trend",  # banded |weeks|-dim self-join + 1-row attaches
     "holdout_bigram_ppl",  # broadcast 1-row vocab-size attach (bm25's pattern)
     "kmv_distinct_sketch",  # broadcast 1-row exact-count audit attach to 3 rows
+    "friedman_test",  # broadcast 1-row tie-term attach to 1-row stats
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
