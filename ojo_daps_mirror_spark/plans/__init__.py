@@ -127,6 +127,7 @@ def load_all() -> None:
         llm_plans84,
         llm_plans85,
         llm_plans86,
+        llm_plans87,
         misc_plans,
         parity_plans,
         olap,

@@ -130,6 +130,8 @@ BNLJ_OK = {
     "holdout_bigram_ppl",  # broadcast 1-row vocab-size attach (bm25's pattern)
     "kmv_distinct_sketch",  # broadcast 1-row exact-count audit attach to 3 rows
     "friedman_test",  # broadcast 1-row tie-term attach to 1-row stats
+    "spc_control_chart",  # broadcast 1-row control-limits attach to |weeks|
+    "abc_xyz_matrix",  # broadcast 1-row week-span scalar attach to |parts|
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
