@@ -128,6 +128,7 @@ def load_all() -> None:
         llm_plans85,
         llm_plans86,
         llm_plans87,
+        llm_plans88,
         misc_plans,
         parity_plans,
         olap,

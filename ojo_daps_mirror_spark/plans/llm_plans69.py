@@ -126,7 +126,7 @@ WITH vals AS (
 per_fold AS (
   SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(cents) AS BIGINT) AS s,
-         CAST(SUM(cents * cents) AS BIGINT) AS ss
+         CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss
   FROM vals GROUP BY fold
 ),
 tot AS (
@@ -136,7 +136,7 @@ tot AS (
 scored AS (
   SELECT fold, n,
          (gs - s) * 1.0 / (nn - n) AS mu,
-         (ss - 2.0 * ((gs - s) * 1.0 / (nn - n)) * s
+         (CAST(ss AS DOUBLE) - 2.0 * ((gs - s) * 1.0 / (nn - n)) * s
           + n * ((gs - s) * 1.0 / (nn - n))
               * ((gs - s) * 1.0 / (nn - n))) / n AS mse
   FROM per_fold CROSS JOIN tot
@@ -178,7 +178,11 @@ def kfold_cv_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_fold = vals.groupBy("fold").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("s"),
-        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("ss"),
+        # 128-bit: cents^2 sums overflow BIGINT past ~sf0.05 (found by
+        # the sf0.1 bench — ANSI mode turns the overflow into a crash).
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
     )
     per_fold = per_fold.persist()
     tot = per_fold.agg(
@@ -187,7 +191,8 @@ def kfold_cv_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mu = (F.col("gs") - F.col("s")) * 1.0 / (F.col("nn") - F.col("n"))
     mse = (
-        F.col("ss") - 2.0 * mu * F.col("s") + F.col("n") * mu * mu
+        F.col("ss").cast("double") - 2.0 * mu * F.col("s")
+        + F.col("n") * mu * mu
     ) / F.col("n")
     return (
         per_fold.crossJoin(F.broadcast(tot))

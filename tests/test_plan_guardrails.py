@@ -132,6 +132,7 @@ BNLJ_OK = {
     "friedman_test",  # broadcast 1-row tie-term attach to 1-row stats
     "spc_control_chart",  # broadcast 1-row control-limits attach to |weeks|
     "abc_xyz_matrix",  # broadcast 1-row week-span scalar attach to |parts|
+    "tukey_hsd",  # 5-row group-dim self-join (10 pairs) + 1-row MSW attach
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
