@@ -129,6 +129,7 @@ def load_all() -> None:
         llm_plans86,
         llm_plans87,
         llm_plans88,
+        llm_plans89,
         misc_plans,
         parity_plans,
         olap,

@@ -133,6 +133,7 @@ BNLJ_OK = {
     "spc_control_chart",  # broadcast 1-row control-limits attach to |weeks|
     "abc_xyz_matrix",  # broadcast 1-row week-span scalar attach to |parts|
     "tukey_hsd",  # 5-row group-dim self-join (10 pairs) + 1-row MSW attach
+    "kupiec_pof_test",  # broadcast 1-row train-VaR attach onto the eval frame
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
