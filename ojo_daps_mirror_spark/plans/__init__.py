@@ -130,6 +130,7 @@ def load_all() -> None:
         llm_plans87,
         llm_plans88,
         llm_plans89,
+        llm_plans90,
         misc_plans,
         parity_plans,
         olap,
