@@ -131,6 +131,7 @@ def load_all() -> None:
         llm_plans88,
         llm_plans89,
         llm_plans90,
+        llm_plans91,
         misc_plans,
         parity_plans,
         olap,

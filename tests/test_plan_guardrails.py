@@ -134,6 +134,8 @@ BNLJ_OK = {
     "abc_xyz_matrix",  # broadcast 1-row week-span scalar attach to |parts|
     "tukey_hsd",  # 5-row group-dim self-join (10 pairs) + 1-row MSW attach
     "kupiec_pof_test",  # broadcast 1-row train-VaR attach onto the eval frame
+    "cramers_v_matrix",  # broadcast 1-row cardinality attach per pair (3 rows)
+    "lsh_candidate_precision",  # broadcast pair frame in verify (C5's shape)
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
