@@ -132,6 +132,7 @@ def load_all() -> None:
         llm_plans89,
         llm_plans90,
         llm_plans91,
+        llm_plans92,
         misc_plans,
         parity_plans,
         olap,
