@@ -133,6 +133,7 @@ def load_all() -> None:
         llm_plans90,
         llm_plans91,
         llm_plans92,
+        llm_plans93,
         misc_plans,
         parity_plans,
         olap,

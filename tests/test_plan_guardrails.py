@@ -136,6 +136,7 @@ BNLJ_OK = {
     "kupiec_pof_test",  # broadcast 1-row train-VaR attach onto the eval frame
     "cramers_v_matrix",  # broadcast 1-row cardinality attach per pair (3 rows)
     "lsh_candidate_precision",  # broadcast pair frame in verify (C5's shape)
+    "split_leakage_audit",  # composes C5's verify (broadcast pair frame)
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
