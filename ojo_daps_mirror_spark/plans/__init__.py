@@ -134,6 +134,7 @@ def load_all() -> None:
         llm_plans91,
         llm_plans92,
         llm_plans93,
+        llm_plans94,
         misc_plans,
         parity_plans,
         olap,

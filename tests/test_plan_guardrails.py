@@ -137,6 +137,7 @@ BNLJ_OK = {
     "cramers_v_matrix",  # broadcast 1-row cardinality attach per pair (3 rows)
     "lsh_candidate_precision",  # broadcast pair frame in verify (C5's shape)
     "split_leakage_audit",  # composes C5's verify (broadcast pair frame)
+    "lexical_semantic_agreement",  # declared all-pairs eval harness (C8's contract)
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
