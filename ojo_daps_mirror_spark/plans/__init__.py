@@ -135,6 +135,7 @@ def load_all() -> None:
         llm_plans92,
         llm_plans93,
         llm_plans94,
+        llm_plans95,
         misc_plans,
         parity_plans,
         olap,

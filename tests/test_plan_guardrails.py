@@ -138,6 +138,7 @@ BNLJ_OK = {
     "lsh_candidate_precision",  # broadcast pair frame in verify (C5's shape)
     "split_leakage_audit",  # composes C5's verify (broadcast pair frame)
     "lexical_semantic_agreement",  # declared all-pairs eval harness (C8's contract)
+    "kendall_w_concordance",  # broadcast 1-row tie-term attach to 1-row stats
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
