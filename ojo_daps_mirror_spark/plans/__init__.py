@@ -136,6 +136,7 @@ def load_all() -> None:
         llm_plans93,
         llm_plans94,
         llm_plans95,
+        llm_plans96,
         misc_plans,
         parity_plans,
         olap,
