@@ -137,6 +137,7 @@ def load_all() -> None:
         llm_plans94,
         llm_plans95,
         llm_plans96,
+        llm_plans97,
         misc_plans,
         parity_plans,
         olap,

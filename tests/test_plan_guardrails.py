@@ -140,6 +140,7 @@ BNLJ_OK = {
     "lexical_semantic_agreement",  # declared all-pairs eval harness (C8's contract)
     "kendall_w_concordance",  # broadcast 1-row tie-term attach to 1-row stats
     "chain_ladder",  # broadcast <=6-row dev-factor dim, range condition
+    "dup_cluster_lang_purity",  # composes C5's verify (broadcast pair frame)
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
