@@ -138,6 +138,7 @@ def load_all() -> None:
         llm_plans95,
         llm_plans96,
         llm_plans97,
+        llm_plans98,
         misc_plans,
         parity_plans,
         olap,
