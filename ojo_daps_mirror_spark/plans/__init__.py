@@ -139,6 +139,7 @@ def load_all() -> None:
         llm_plans96,
         llm_plans97,
         llm_plans98,
+        llm_plans99,
         misc_plans,
         parity_plans,
         olap,

@@ -141,6 +141,7 @@ BNLJ_OK = {
     "kendall_w_concordance",  # broadcast 1-row tie-term attach to 1-row stats
     "chain_ladder",  # broadcast <=6-row dev-factor dim, range condition
     "dup_cluster_lang_purity",  # composes C5's verify (broadcast pair frame)
+    "exemplar_quality_bias",  # composes C5's verify (broadcast pair frame)
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
