@@ -140,6 +140,7 @@ def load_all() -> None:
         llm_plans97,
         llm_plans98,
         llm_plans99,
+        llm_plans100,
         misc_plans,
         parity_plans,
         olap,

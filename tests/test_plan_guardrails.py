@@ -142,6 +142,7 @@ BNLJ_OK = {
     "chain_ladder",  # broadcast <=6-row dev-factor dim, range condition
     "dup_cluster_lang_purity",  # composes C5's verify (broadcast pair frame)
     "exemplar_quality_bias",  # composes C5's verify (broadcast pair frame)
+    "retrieval_mrr",  # declared all-pairs eval harness (C8's contract)
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
