@@ -141,6 +141,7 @@ def load_all() -> None:
         llm_plans98,
         llm_plans99,
         llm_plans100,
+        llm_plans101,
         misc_plans,
         parity_plans,
         olap,

@@ -143,6 +143,9 @@ BNLJ_OK = {
     "dup_cluster_lang_purity",  # composes C5's verify (broadcast pair frame)
     "exemplar_quality_bias",  # composes C5's verify (broadcast pair frame)
     "retrieval_mrr",  # declared all-pairs eval harness (C8's contract)
+    "meta_fixed_effect",  # broadcast 1-row pooled-effect attach for Q
+    "ab_power_planning",  # |lifts|-row grid built from a 1-row baseline
+    "burrows_delta",  # |sources| x |terms| zero-fill dimension cross
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
