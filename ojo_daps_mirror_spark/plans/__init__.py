@@ -142,6 +142,7 @@ def load_all() -> None:
         llm_plans99,
         llm_plans100,
         llm_plans101,
+        llm_plans102,
         misc_plans,
         parity_plans,
         olap,
