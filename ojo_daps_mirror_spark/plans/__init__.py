@@ -143,6 +143,7 @@ def load_all() -> None:
         llm_plans100,
         llm_plans101,
         llm_plans102,
+        llm_plans103,
         misc_plans,
         parity_plans,
         olap,
