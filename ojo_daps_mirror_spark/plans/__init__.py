@@ -144,6 +144,7 @@ def load_all() -> None:
         llm_plans101,
         llm_plans102,
         llm_plans103,
+        llm_plans104,
         misc_plans,
         parity_plans,
         olap,

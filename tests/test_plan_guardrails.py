@@ -146,6 +146,7 @@ BNLJ_OK = {
     "meta_fixed_effect",  # broadcast 1-row pooled-effect attach for Q
     "ab_power_planning",  # |lifts|-row grid built from a 1-row baseline
     "burrows_delta",  # |sources| x |terms| zero-fill dimension cross
+    "jelinek_mercer_em_step",  # broadcast 1-row totals + EM-stats attaches
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
