@@ -299,6 +299,14 @@ BENCH_KEYS: list[str] = [
     "ngram_novelty_curve",
     "prefix_cache_hit_rate",
     "hapax_profile",
+    "holdout_bigram_ppl",
+    "text_entropy_rate",
+    "sorted_neighborhood_dedup",
+    "lsh_candidate_precision",
+    "burrows_delta",
+    "source_js_divergence_matrix",
+    "doc_repetition_profile",
+    "mattr_lexical_diversity",
 ]
 
 

@@ -145,6 +145,7 @@ def load_all() -> None:
         llm_plans102,
         llm_plans103,
         llm_plans104,
+        llm_plans105,
         misc_plans,
         parity_plans,
         olap,

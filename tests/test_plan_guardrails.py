@@ -147,6 +147,7 @@ BNLJ_OK = {
     "ab_power_planning",  # |lifts|-row grid built from a 1-row baseline
     "burrows_delta",  # |sources| x |terms| zero-fill dimension cross
     "jelinek_mercer_em_step",  # broadcast 1-row totals + EM-stats attaches
+    "char_ngram_langid",  # broadcast |langs|-dim + 1-row vocab attaches
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
