@@ -146,6 +146,7 @@ def load_all() -> None:
         llm_plans103,
         llm_plans104,
         llm_plans105,
+        llm_plans106,
         misc_plans,
         parity_plans,
         olap,
