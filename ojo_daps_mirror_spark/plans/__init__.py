@@ -147,6 +147,7 @@ def load_all() -> None:
         llm_plans104,
         llm_plans105,
         llm_plans106,
+        llm_plans107,
         misc_plans,
         parity_plans,
         olap,

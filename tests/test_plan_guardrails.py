@@ -148,6 +148,8 @@ BNLJ_OK = {
     "burrows_delta",  # |sources| x |terms| zero-fill dimension cross
     "jelinek_mercer_em_step",  # broadcast 1-row totals + EM-stats attaches
     "char_ngram_langid",  # broadcast |langs|-dim + 1-row vocab attaches
+    "acceptance_sampling_oc",  # |plans|x|rates| grid built from a 1-row base
+    "near_dup_source_matrix",  # composes C5's verify (broadcast pair frame)
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
