@@ -148,6 +148,7 @@ def load_all() -> None:
         llm_plans105,
         llm_plans106,
         llm_plans107,
+        llm_plans108,
         misc_plans,
         parity_plans,
         olap,
