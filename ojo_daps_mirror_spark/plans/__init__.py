@@ -149,6 +149,7 @@ def load_all() -> None:
         llm_plans106,
         llm_plans107,
         llm_plans108,
+        llm_plans109,
         misc_plans,
         parity_plans,
         olap,

@@ -150,6 +150,7 @@ BNLJ_OK = {
     "char_ngram_langid",  # broadcast |langs|-dim + 1-row vocab attaches
     "acceptance_sampling_oc",  # |plans|x|rates| grid built from a 1-row base
     "near_dup_source_matrix",  # composes C5's verify (broadcast pair frame)
+    "intrinsic_dim_mle",  # declared all-pairs eval harness (C8's contract)
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
