@@ -150,6 +150,7 @@ def load_all() -> None:
         llm_plans107,
         llm_plans108,
         llm_plans109,
+        llm_plans110,
         misc_plans,
         parity_plans,
         olap,

@@ -48,6 +48,7 @@ ARROW_OK = {
     "text_dedup_pipeline",
     "vectorise_stub",
     "matryoshka_recall",  # streaming-BLAS prefix-dim top-k kernel (C53's shape)
+    "dedup_method_agreement",  # composes C6's Arrow simhash signature kernel
 }
 
 # BroadcastNestedLoopJoin: broadcast scalar / tiny-dim attaches with
@@ -151,6 +152,7 @@ BNLJ_OK = {
     "acceptance_sampling_oc",  # |plans|x|rates| grid built from a 1-row base
     "near_dup_source_matrix",  # composes C5's verify (broadcast pair frame)
     "intrinsic_dim_mle",  # declared all-pairs eval harness (C8's contract)
+    "dedup_method_agreement",  # composes C5's verify (broadcast pair frame)
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
