@@ -151,6 +151,7 @@ def load_all() -> None:
         llm_plans108,
         llm_plans109,
         llm_plans110,
+        llm_plans111,
         misc_plans,
         parity_plans,
         olap,
