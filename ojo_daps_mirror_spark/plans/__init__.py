@@ -152,6 +152,7 @@ def load_all() -> None:
         llm_plans109,
         llm_plans110,
         llm_plans111,
+        llm_plans112,
         misc_plans,
         parity_plans,
         olap,

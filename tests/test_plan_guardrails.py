@@ -153,6 +153,7 @@ BNLJ_OK = {
     "near_dup_source_matrix",  # composes C5's verify (broadcast pair frame)
     "intrinsic_dim_mle",  # declared all-pairs eval harness (C8's contract)
     "dedup_method_agreement",  # composes C5's verify (broadcast pair frame)
+    "dedup_mixture_shift",  # composes C5's verify (broadcast pair frame)
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
