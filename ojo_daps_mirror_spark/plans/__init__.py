@@ -153,6 +153,7 @@ def load_all() -> None:
         llm_plans110,
         llm_plans111,
         llm_plans112,
+        llm_plans113,
         misc_plans,
         parity_plans,
         olap,
