@@ -51,3 +51,17 @@ def normal_sf_abs(z: Column) -> Column:
 
 def sql_normal_sf_abs(z: str) -> str:
     return f"(0.5 * (1.0 - {sql_erf_pos(f'ABS({z}) / {_SQRT2!r}')}))"
+
+
+def normal_cdf(z: Column) -> Column:
+    """Phi(z) for any sign via the odd symmetry erf(-x) = -erf(x)."""
+    signed = F.when(z < 0, -1.0).otherwise(1.0) * erf_pos(F.abs(z) / _SQRT2)
+    return 0.5 * (1.0 + signed)
+
+
+def sql_normal_cdf(z: str) -> str:
+    signed = (
+        f"((CASE WHEN ({z}) < 0 THEN -1.0 ELSE 1.0 END)"
+        f" * {sql_erf_pos(f'ABS({z}) / {_SQRT2!r}')})"
+    )
+    return f"(0.5 * (1.0 + {signed}))"

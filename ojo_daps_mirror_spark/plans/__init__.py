@@ -154,6 +154,7 @@ def load_all() -> None:
         llm_plans111,
         llm_plans112,
         llm_plans113,
+        llm_plans114,
         misc_plans,
         parity_plans,
         olap,
