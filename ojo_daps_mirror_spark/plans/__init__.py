@@ -155,6 +155,7 @@ def load_all() -> None:
         llm_plans112,
         llm_plans113,
         llm_plans114,
+        llm_plans115,
         misc_plans,
         parity_plans,
         olap,
