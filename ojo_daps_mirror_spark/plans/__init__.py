@@ -156,6 +156,7 @@ def load_all() -> None:
         llm_plans113,
         llm_plans114,
         llm_plans115,
+        llm_plans116,
         misc_plans,
         parity_plans,
         olap,
