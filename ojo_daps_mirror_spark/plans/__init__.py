@@ -157,6 +157,7 @@ def load_all() -> None:
         llm_plans114,
         llm_plans115,
         llm_plans116,
+        llm_plans117,
         misc_plans,
         parity_plans,
         olap,
