@@ -158,6 +158,7 @@ def load_all() -> None:
         llm_plans115,
         llm_plans116,
         llm_plans117,
+        llm_plans118,
         misc_plans,
         parity_plans,
         olap,
