@@ -159,6 +159,7 @@ def load_all() -> None:
         llm_plans116,
         llm_plans117,
         llm_plans118,
+        llm_plans119,
         misc_plans,
         parity_plans,
         olap,
