@@ -160,6 +160,7 @@ def load_all() -> None:
         llm_plans117,
         llm_plans118,
         llm_plans119,
+        llm_plans120,
         misc_plans,
         parity_plans,
         olap,
