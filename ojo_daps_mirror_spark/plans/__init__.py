@@ -161,6 +161,7 @@ def load_all() -> None:
         llm_plans118,
         llm_plans119,
         llm_plans120,
+        llm_plans121,
         misc_plans,
         parity_plans,
         olap,
