@@ -162,6 +162,7 @@ def load_all() -> None:
         llm_plans119,
         llm_plans120,
         llm_plans121,
+        llm_plans122,
         misc_plans,
         parity_plans,
         olap,
