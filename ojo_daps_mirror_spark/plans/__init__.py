@@ -163,6 +163,7 @@ def load_all() -> None:
         llm_plans120,
         llm_plans121,
         llm_plans122,
+        llm_plans123,
         misc_plans,
         parity_plans,
         olap,
