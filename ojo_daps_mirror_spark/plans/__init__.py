@@ -164,6 +164,8 @@ def load_all() -> None:
         llm_plans121,
         llm_plans122,
         llm_plans123,
+        llm_plans124,
+        llm_plans125,
         misc_plans,
         parity_plans,
         olap,
