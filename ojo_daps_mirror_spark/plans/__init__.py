@@ -166,6 +166,8 @@ def load_all() -> None:
         llm_plans123,
         llm_plans124,
         llm_plans125,
+        llm_plans126,
+        llm_plans127,
         misc_plans,
         parity_plans,
         olap,
