@@ -168,6 +168,8 @@ def load_all() -> None:
         llm_plans125,
         llm_plans126,
         llm_plans127,
+        llm_plans128,
+        llm_plans129,
         misc_plans,
         parity_plans,
         olap,
