@@ -19,6 +19,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.stats import normal_sf_abs, sql_normal_sf_abs
+from ..operators.attach import attach_scalars
 from ..sources import load_table
 from . import register
 
@@ -254,7 +255,7 @@ def nbinom_zero_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
     brands = weekly.select("brand").distinct()
     weeks = weekly.select("w").distinct()
     grid = (
-        brands.crossJoin(F.broadcast(weeks))
+        attach_scalars(brands, weeks)
         .join(weekly, ["brand", "w"], "left")
         .select("brand", "w", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
     )

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.attach import attach_scalars
 from ..sources import load_table
 from . import register
 
@@ -132,7 +133,7 @@ def group_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").alias("dmin"),
         (F.datediff(F.max("d"), F.min("d")) + 1).alias("span"),
     )
-    spanned = base.crossJoin(F.broadcast(span)).select(
+    spanned = attach_scalars(base, span).select(
         "seg", "y", F.datediff("d", "dmin").alias("dd"), "span"
     )
     aggs = []

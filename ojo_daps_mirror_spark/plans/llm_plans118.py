@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.stats import normal_sf_abs, sql_normal_sf_abs
+from ..operators.attach import attach_scalars
 from ..sources import load_table
 from . import register
 
@@ -611,7 +612,7 @@ def seasonal_strength_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return vars_.crossJoin(F.broadcast(peaks)).select(
+    return attach_scalars(vars_, peaks).select(
         F.col("n").alias("n_days"),
         round_eps(
             F.greatest(

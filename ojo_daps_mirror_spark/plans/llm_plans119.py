@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.stats import normal_sf_abs, sql_normal_sf_abs
+from ..operators.attach import attach_scalars
 from ..sources import load_table
 from . import register
 
@@ -444,7 +445,7 @@ def filter_venn_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tokens").cast("bigint").alias("tt"),
     )
     return (
-        cells.crossJoin(F.broadcast(tot))
+        attach_scalars(cells, tot)
         .select(
             "f_short",
             "f_repeat",

@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import hash64, sql_hash64
+from ..operators.attach import attach_scalars
 from ..sources import load_table
 from . import register
 
@@ -339,7 +340,7 @@ def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("x").alias("m"))
     )
     cells = (
-        cents.crossJoin(F.broadcast(med))
+        attach_scalars(cents, med)
         .groupBy("grp")
         .agg(
             F.sum(F.when(F.col("x") > F.col("m"), 1).otherwise(0))
@@ -356,7 +357,7 @@ def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("above") + F.col("at_below")).cast("bigint").alias("n"),
         F.count(F.lit(1)).cast("bigint").alias("k"),
     )
-    joined = cells.crossJoin(F.broadcast(tot))
+    joined = attach_scalars(cells, tot)
     row = F.col("above") + F.col("at_below")
     ea = row * 1.0 * F.col("ta") / F.col("n")
     eb = row * 1.0 * F.col("tb") / F.col("n")

@@ -27,6 +27,7 @@ from ..functions.stats import (
     sql_normal_ppf,
 )
 from ..functions.text import hash64, sql_hash64
+from ..operators.attach import attach_scalars
 from ..sources import load_table
 from . import register
 
@@ -279,7 +280,7 @@ def anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("bigint").alias("sy"),
         F.sum(F.col("y").cast(dec) * F.col("y")).cast("double").alias("syy"),
     )
-    z = weekly.crossJoin(F.broadcast(mom)).select(
+    z = attach_scalars(weekly, mom).select(
         F.row_number()
         .over(Window.orderBy("y", "w"))
         .cast("bigint")
@@ -419,7 +420,7 @@ def hll_from_scratch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.agg(
         F.countDistinct("event_id").cast("bigint").alias("exact")
     )
-    est = sketch.crossJoin(F.broadcast(exact)).select(
+    est = attach_scalars(sketch, exact).select(
         "present",
         "zeros",
         (

@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.stats import normal_sf_abs, sql_normal_sf_abs
+from ..operators.attach import attach_scalars
 from ..sources import load_table
 from . import register
 
@@ -184,7 +185,7 @@ def jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("g12"),
         F.sum(ngh * (F.col("ng") - 1)).cast("double").alias("g1"),
     )
-    st = jt.crossJoin(F.broadcast(grp))
+    st = attach_scalars(jt, grp)
     nd = F.col("n").cast("double")
     jt_stat = F.col("jt2").cast("double") / 2
     mu = (nd * F.col("n") - F.col("sn2")) / 4
@@ -337,19 +338,37 @@ def morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         (F.sum("x") / F.count(F.lit(1))).alias("xbar"),
     )
-    dev = xs.crossJoin(F.broadcast(mean_x)).select(
+    dev = attach_scalars(xs, mean_x).select(
         "ci", "cj", (F.col("x") - F.col("xbar")).alias("d"), "n"
     )
     dev = dev.persist()
-    a = dev.alias("a")
-    b = dev.alias("b")
-    adj = (F.abs(F.col("a.ci") - F.col("b.ci"))
-           + F.abs(F.col("a.cj") - F.col("b.cj"))) == 1
-    edges = a.join(b, adj).select(
-        F.col("a.ci").alias("ci"),
-        F.col("a.cj").alias("cj"),
-        (F.col("a.d") * F.col("b.d")).alias("dd"),
+    # Rook adjacency via the 4 neighbour OFFSET KEYS: explode each
+    # cell into its (ci+di, cj+dj) probes and equi-join back to the
+    # broadcast cell frame on (ci, cj) — a hash join, never a
+    # non-equi nested loop over |cells|^2.
+    offsets = F.array(*[
+        F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+        for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1))
+    ])
+    probes = dev.select(
+        "ci", "cj", "d", F.explode(offsets).alias("o")
+    ).select(
+        "ci",
+        "cj",
+        "d",
+        (F.col("ci") + F.col("o.di")).alias("nci"),
+        (F.col("cj") + F.col("o.dj")).alias("ncj"),
     )
+    edges = probes.join(
+        F.broadcast(
+            dev.select(
+                F.col("ci").alias("nci"),
+                F.col("cj").alias("ncj"),
+                F.col("d").alias("bd"),
+            )
+        ),
+        ["nci", "ncj"],
+    ).select("ci", "cj", (F.col("d") * F.col("bd")).alias("dd"))
     edge_sums = edges.agg(
         F.sum("dd").alias("cross_sum"),
         F.count(F.lit(1)).cast("bigint").alias("s0"),
@@ -364,9 +383,7 @@ def morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("d") * F.col("d")).alias("ss"),
         F.max("n").alias("n"),
     )
-    st = (
-        edge_sums.crossJoin(F.broadcast(s2)).crossJoin(F.broadcast(base))
-    )
+    st = attach_scalars(attach_scalars(edge_sums, s2), base)
     nd = F.col("n").cast("double")
     s0d = F.col("s0").cast("double")
     i_obs = (nd / F.col("s0")) * F.col("cross_sum") / F.col("ss")

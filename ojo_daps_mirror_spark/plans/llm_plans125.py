@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import hash64, sql_hash64
+from ..operators.attach import attach_scalars
 from ..sources import load_table
 from . import register
 
@@ -162,10 +163,7 @@ def bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("false_pos"),
     )
-    out = (
-        agg.crossJoin(F.broadcast(n_member))
-        .crossJoin(F.broadcast(bits_set))
-    )
+    out = attach_scalars(attach_scalars(agg, n_member), bits_set)
     theo = F.exp(
         BLOOM_K
         * F.log(
@@ -392,7 +390,8 @@ def linear_cka_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("gij") * F.col("gij"),
             ).otherwise(0.0)
         ).alias("yy2"),
-    ).crossJoin(F.broadcast(n))
+    )
+    norms = attach_scalars(norms, n)
     return norms.select(
         F.col("n").alias("n_vectors"),
         F.lit(CKA_D).cast("bigint").alias("dim"),

@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.stats import normal_sf_abs, sql_normal_sf_abs
+from ..operators.attach import attach_scalars
 from ..sources import load_table
 from . import register
 
@@ -144,21 +145,41 @@ def getis_ord_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.sum("x") / F.count(F.lit(1)))
         ).alias("s"),
     )
-    a = xs.alias("a")
-    b = xs.alias("b")
+    # Queen+self neighbourhood via the 9 OFFSET KEYS: explode each
+    # cell into its (ci+di, cj+dj) probes and equi-join back to the
+    # broadcast cell frame on (ci, cj) — hash join, not a non-equi
+    # nested loop over |cells|^2.
+    offsets = F.array(*[
+        F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+        for di in (-1, 0, 1)
+        for dj in (-1, 0, 1)
+    ])
+    probes = xs.select(
+        "ci", "cj", F.explode(offsets).alias("o")
+    ).select(
+        "ci",
+        "cj",
+        (F.col("ci") + F.col("o.di")).alias("nci"),
+        (F.col("cj") + F.col("o.dj")).alias("ncj"),
+    )
     nbr = (
-        a.join(
-            b,
-            (F.abs(F.col("a.ci") - F.col("b.ci")) <= 1)
-            & (F.abs(F.col("a.cj") - F.col("b.cj")) <= 1),
+        probes.join(
+            F.broadcast(
+                xs.select(
+                    F.col("ci").alias("nci"),
+                    F.col("cj").alias("ncj"),
+                    F.col("x").alias("bx"),
+                )
+            ),
+            ["nci", "ncj"],
         )
-        .groupBy(F.col("a.ci").alias("ci"), F.col("a.cj").alias("cj"))
+        .groupBy("ci", "cj")
         .agg(
-            F.sum(F.col("b.x")).alias("wx"),
+            F.sum(F.col("bx")).alias("wx"),
             F.count(F.lit(1)).cast("bigint").alias("wi"),
         )
     )
-    scored = nbr.crossJoin(F.broadcast(glob)).select(
+    scored = attach_scalars(nbr, glob).select(
         "ci",
         "cj",
         "wi",

@@ -22,6 +22,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import hash64, sql_hash64
+from ..operators.attach import attach_scalars
 from ..sources import load_table
 from . import register
 
@@ -225,7 +226,7 @@ def inclan_tiao_variance_break(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = "decimal(38,0)"
     f = F.col("n") * F.col("y") - F.col("sy")
-    sq = weekly.crossJoin(F.broadcast(mom)).select(
+    sq = attach_scalars(weekly, mom).select(
         "w",
         (f.cast(dec) * f).alias("f2"),
         F.row_number().over(Window.orderBy("w")).cast("bigint").alias("k"),
@@ -389,8 +390,7 @@ def consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("keys_after")
     )
     return (
-        per_node.join(after, "node", "left")
-        .crossJoin(F.broadcast(tot))
+        attach_scalars(per_node.join(after, "node", "left"), tot)
         .select(
             "node",
             "keys_before",

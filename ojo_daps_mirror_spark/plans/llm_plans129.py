@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.vectors import cosine, sql_cosine
+from ..operators.attach import attach_scalars
 from ..sources import load_table
 from . import register
 
@@ -445,7 +446,7 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("i"),
         F.sum("toks").over(w_cum).cast("bigint").alias("cum"),
     )
-    levels = sorted_.crossJoin(F.broadcast(tot)).select(
+    levels = attach_scalars(sorted_, tot).select(
         "i",
         "toks",
         (
@@ -468,8 +469,7 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
     )
     out = (
-        per_src.crossJoin(F.broadcast(level_final))
-        .crossJoin(F.broadcast(tot))
+        attach_scalars(attach_scalars(per_src, level_final), tot)
     )
     alloc = F.least(F.col("toks").cast("double"), F.col("lv"))
     return out.select(

@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import hash64, sql_hash64
+from ..operators.attach import attach_scalars
 from ..sources import load_table
 from . import register
 
@@ -285,7 +286,7 @@ def spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p")
     )
     tot_p = powr.agg(F.sum("p").alias("tp"))
-    tot = powr.crossJoin(F.broadcast(tot_p)).agg(
+    tot = attach_scalars(powr, tot_p).agg(
         F.max("n").alias("n"),
         F.sum("p").alias("sp_"),
         F.count(F.lit(1)).alias("m"),

@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import hash64, sql_hash64
+from ..operators.attach import attach_scalars
 from ..sources import load_table
 from . import register
 
@@ -99,7 +100,7 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase").cast("bigint").alias("y"),
     )
     mx = ev.agg(F.max("s").cast("bigint").alias("smax"))
-    binned = ev.crossJoin(F.broadcast(mx)).select(
+    binned = attach_scalars(ev, mx).select(
         F.least(
             F.expr(f"(s * {BRIER_BINS}) div smax"), F.lit(BRIER_BINS - 1)
         ).alias("k"),
@@ -466,7 +467,7 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = cust.agg(
         F.min("c_acctbal").alias("mn"), F.max("c_acctbal").alias("mx")
     )
-    banded = cust.crossJoin(F.broadcast(mm)).select(
+    banded = attach_scalars(cust, mm).select(
         F.col("c_nationkey").alias("nationkey"),
         F.col("c_mktsegment").alias("mktsegment"),
         F.least(
@@ -495,7 +496,7 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cc").cast("bigint").alias("cn")
     )
     grid = (
-        cls_tot.crossJoin(F.broadcast(glob))
+        attach_scalars(cls_tot, glob)
         .join(cls, ["nationkey", "mktsegment", "band"], "left")
         .select(
             "nationkey",

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.attach import attach_scalars
 from ..sources import load_table
 from . import register
 
@@ -235,7 +236,7 @@ def ancova_adjusted_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wxy"),
         F.sum("sx").cast("bigint").alias("tx"),
     )
-    adj = per_g.crossJoin(F.broadcast(pooled))
+    adj = attach_scalars(per_g, pooled)
     b = F.col("wxy") / F.col("wxx")
     raw_mean = F.col("sy").cast("double") / F.col("ng") / 100.0
     adj_mean = (
@@ -347,7 +348,7 @@ def source_loo_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("exclusive_types"),
         )
     )
-    out = per_src.crossJoin(F.broadcast(glob))
+    out = attach_scalars(per_src, glob)
     return out.select(
         "source",
         "src_tokens",

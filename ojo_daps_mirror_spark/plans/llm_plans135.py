@@ -19,6 +19,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..operators.dedup import chain_edges, connected_components
+from ..operators.attach import attach_scalars
 from ..sources import load_table
 from . import register
 
@@ -307,7 +308,7 @@ def lorenz_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sorted_ = sorted_.persist()
     below = (
-        sorted_.crossJoin(F.broadcast(mom))
+        attach_scalars(sorted_, mom)
         .groupBy("n", "sv")
         .agg(
             F.max(

@@ -27,6 +27,7 @@ from ..functions.stats import (
     sql_normal_cdf,
     sql_normal_ppf,
 )
+from ..operators.attach import attach_scalars
 from ..sources import load_table
 from . import register
 
@@ -217,13 +218,13 @@ def bca_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n") * F.round(F.col("o_totalprice") * 100).cast("bigint")
         - F.col("n") * F.col("th") * 100.0
     )
-    dsums = orders.crossJoin(F.broadcast(theta)).agg(
+    dsums = attach_scalars(orders, theta).agg(
         F.sum(F.pow(d, 2)).alias("s2"),
         F.sum(F.pow(d, 3)).alias("s3"),
         F.max("n").alias("n"),
         F.max("th").alias("th"),
     )
-    frac = reps.crossJoin(F.broadcast(theta.select("th"))).agg(
+    frac = attach_scalars(reps, theta.select("th")).agg(
         (
             F.sum((F.col("rep_mean") < F.col("th")).cast("int")).cast(
                 "double"
@@ -231,7 +232,7 @@ def bca_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("frac")
     )
-    zs = dsums.crossJoin(F.broadcast(frac)).select(
+    zs = attach_scalars(dsums, frac).select(
         "n",
         "th",
         (-(F.col("s3") / (6.0 * F.pow(F.col("s2"), 1.5)))).alias("a"),
@@ -279,19 +280,22 @@ def bca_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo_r, hi_r, f1 = _interp("p1")
     lo2_r, hi2_r, f2 = _interp("p2")
     joined = (
-        picks.crossJoin(F.broadcast(rr.select(F.col("r").alias("r1"),
-                                              F.col("rep_mean").alias("v1"))))
+        attach_scalars(picks, rr.select(F.col("r").alias("r1"),
+                                        F.col("rep_mean").alias("v1")))
         .where(F.col("r1") == lo_r)
-        .crossJoin(F.broadcast(rr.select(F.col("r").alias("r2"),
-                                         F.col("rep_mean").alias("v2"))))
-        .where(F.col("r2") == hi_r)
-        .crossJoin(F.broadcast(rr.select(F.col("r").alias("r3"),
-                                         F.col("rep_mean").alias("v3"))))
-        .where(F.col("r3") == lo2_r)
-        .crossJoin(F.broadcast(rr.select(F.col("r").alias("r4"),
-                                         F.col("rep_mean").alias("v4"))))
-        .where(F.col("r4") == hi2_r)
     )
+    joined = attach_scalars(
+        joined, rr.select(F.col("r").alias("r2"),
+                          F.col("rep_mean").alias("v2"))
+    ).where(F.col("r2") == hi_r)
+    joined = attach_scalars(
+        joined, rr.select(F.col("r").alias("r3"),
+                          F.col("rep_mean").alias("v3"))
+    ).where(F.col("r3") == lo2_r)
+    joined = attach_scalars(
+        joined, rr.select(F.col("r").alias("r4"),
+                          F.col("rep_mean").alias("v4"))
+    ).where(F.col("r4") == hi2_r)
     lo = F.col("v1") * (1.0 - f1) + F.col("v2") * f1
     hi = F.col("v3") * (1.0 - f2) + F.col("v4") * f2
     return joined.select(
@@ -486,7 +490,7 @@ def otsu_length_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ladder = lens.crossJoin(F.broadcast(tot)).select(
+    ladder = attach_scalars(lens, tot).select(
         "v",
         F.sum("c").over(w_cum).cast("bigint").alias("c0"),
         F.sum(F.col("v").cast(dec) * F.col("c"))

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.attach import attach_scalars
 from ..sources import load_table
 from . import register
 
@@ -214,11 +215,29 @@ def blocking_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
     )
-    cand = a.join(
-        b, (F.col("b.pos") - F.col("a.pos")).between(1, BQ_WINDOW)
-    ).select(
-        F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("d1"),
-        F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("d2"),
+    # Banded self-join via BLOCK KEYS, not a non-equi nested loop:
+    # b.pos in [a.pos+1, a.pos+W] implies b's block (pos div W) is
+    # a's block or a's block + 1, so explode each left row into its
+    # two probe blocks, equi-join on the block, and re-check the
+    # exact band — O(n * W) pairs through a hash/sort-merge join.
+    blk = (F.col("pos") / BQ_WINDOW).cast("bigint")
+    a_blk = keyed.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("pos").alias("a_pos"),
+        F.explode(F.array(blk, blk + 1)).alias("blk"),
+    )
+    b_blk = keyed.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("pos").alias("b_pos"),
+        blk.alias("blk"),
+    )
+    cand = (
+        a_blk.join(b_blk, "blk")
+        .where((F.col("b_pos") - F.col("a_pos")).between(1, BQ_WINDOW))
+        .select(
+            F.least(F.col("a_id"), F.col("b_id")).alias("d1"),
+            F.greatest(F.col("a_id"), F.col("b_id")).alias("d2"),
+        )
     )
     cand = cand.persist()
     n = keyed.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
@@ -229,10 +248,8 @@ def blocking_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered = truth.join(cand, ["d1", "d2"]).agg(
         F.count(F.lit(1)).cast("bigint").alias("covered")
     )
-    tot = (
-        n.crossJoin(F.broadcast(n_truth))
-        .crossJoin(F.broadcast(n_cand))
-        .crossJoin(F.broadcast(covered))
+    tot = attach_scalars(
+        attach_scalars(attach_scalars(n, n_truth), n_cand), covered
     )
     nd = F.col("n").cast("double")
     rr = 1.0 - F.col("n_cand").cast("double") / (nd * (F.col("n") - 1) / 2)

@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 from ..functions.rounding import round_eps, sql_round
 from ..functions.stats import normal_cdf, sql_normal_cdf
 from ..functions.text import sql_tokens, tokens
+from ..operators.attach import attach_scalars
 from ..sources import load_table
 from . import register
 
@@ -420,7 +421,7 @@ def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.sum("gmean") - F.min("gmean") - F.max("gmean")) / 2.0)
         .alias("est_f2")
     )
-    out = exact.crossJoin(F.broadcast(est))
+    out = attach_scalars(exact, est)
     return out.select(
         "n_tokens",
         "vocab",

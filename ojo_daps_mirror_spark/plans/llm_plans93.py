@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import hash64, sql_hash64
+from ..operators.attach import attach_scalars
 from ..sources import load_table
 from . import register
 from .llm_plans20 import SPLIT_TRAIN, SPLIT_VAL
@@ -240,7 +241,7 @@ def price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q0").cast("bigint").alias("qt0"),
         F.sum("q1").cast("bigint").alias("qt1"),
     )
-    m = matched.join(F.broadcast(tot))
+    m = attach_scalars(matched, tot)
     ratio = F.col("qt1") * 1.0 / F.col("qt0")
     p0 = F.col("r0") * 1.0 / F.col("q0")
     p1 = F.col("r1") * 1.0 / F.col("q1")

@@ -154,6 +154,26 @@ BNLJ_OK = {
     "intrinsic_dim_mle",  # declared all-pairs eval harness (C8's contract)
     "dedup_method_agreement",  # composes C5's verify (broadcast pair frame)
     "dedup_mixture_shift",  # composes C5's verify (broadcast pair frame)
+    # --- bounded pair expansions, argued individually (round 3) ---
+    # |weeks|-dim all-pairs / banded self-joins: the frame entering the
+    # join is the weekly aggregate (|weeks| ~ 1e2-1e3 at any corpus
+    # size — time, not data, bounds it), same family as the allowlisted
+    # hodges_lehmann / theil_sen_trend / mann_kendall_trend.
+    "sen_slope_ci",  # |weeks|-dim all-pairs slope grid + rank-CI pick
+    "siegel_repeated_medians",  # |weeks|-dim all-pairs slope grid
+    "hoeffdings_d",  # |weeks|-dim all-pairs concordance scan
+    "pacf_durbin_levinson",  # banded |weeks|-dim self-join (acf's shape)
+    "max_consensus_line",  # |weeks|-dim candidate x point residual grid
+    # |sources|-dim pair grids: the join is over the distinct-source
+    # frame (single digits of rows), same family as burrows_delta.
+    "vocab_overlap_matrix",  # |sources|-dim pair grid zero-fill
+    "minhash_jaccard_vs_exact",  # |sources|-dim pair grid (est vs exact)
+    # Declared exact all-pairs baselines over the embeddings table,
+    # same contract as ann_topk_bruteforce (C8): the quadratic scan IS
+    # the audited ground truth; the scale path is the bucketed C9/C15.
+    "hubness_audit",  # exact k-occurrence needs the true top-k graph
+    "neardup_transitivity_audit",  # exact threshold edge set
+    "onebit_retrieval_agreement",  # exact cosine + Hamming top-k twins
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
