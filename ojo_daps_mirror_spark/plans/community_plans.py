@@ -328,3 +328,209 @@ def skill_communities_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.select(
         F.col("id").alias("skill"), F.col("component_id").alias("community")
     ).orderBy("community", "skill")
+
+
+# ---------------------------------------------------------------- A40
+
+# Step 3 of the reference's ConsensusClustering
+# (flows/enrich/labs/skills/cluster_utils.py:272 consensus_communities):
+# score every ensemble member by its MEAN pairwise agreement with the
+# other members and keep the most agreeable one. The reference scores
+# with sklearn adjusted mutual information; the engine scores with NMI
+# (arithmetic-mean normalisation) — the closed-form chance-UNcorrected
+# twin, identical argmax behaviour on same-sized partitions and, unlike
+# AMI's hypergeometric E[MI] term, exactly expressible in SQL for the
+# oracle.
+
+
+def _nmi_pair_sql(a: int, b: int) -> str:
+    """NMI between unrolled LPA members a and b over the shared CTEs."""
+    return f"""cont_{a}{b} AS (
+  SELECT x.lbl AS ca, y.lbl AS cb, CAST(COUNT(*) AS BIGINT) AS nij
+  FROM l{LPA_ITERS}_{a} x JOIN l{LPA_ITERS}_{b} y ON x.id = y.id
+  GROUP BY 1, 2
+),
+mi_{a}{b} AS (
+  SELECT SUM((nij * 1.0 / n.nn)
+             * ln(nij * 1.0 * n.nn / (ma.ai * 1.0 * mb.bj))) AS mi
+  FROM cont_{a}{b} c
+  JOIN (SELECT ca, SUM(nij) AS ai FROM cont_{a}{b} GROUP BY ca) ma
+    USING (ca)
+  JOIN (SELECT cb, SUM(nij) AS bj FROM cont_{a}{b} GROUP BY cb) mb
+    USING (cb),
+  nn n
+),
+nmi_{a}{b} AS (
+  SELECT mi / ((ha.h + hb.h) / 2) AS nmi
+  FROM mi_{a}{b}, h_{a} ha, h_{b} hb
+),
+"""
+
+
+def _consensus_select_oracle() -> str:
+    from ..functions.rounding import sql_round
+
+    head = _skill_communities_oracle().split("l0 AS")[0]
+    # DuckDB inlines plain CTEs per reference; this oracle references
+    # the shared graph and each member's final labels MANY times, so
+    # without MATERIALIZED the unrolled LPA chains re-expand
+    # multiplicatively and the query never finishes.
+    for cte in ("toks", "lexicon", "doc_forms", "cooc", "knn", "edges",
+                "nodes"):
+        head = head.replace(f"{cte} AS (", f"{cte} AS MATERIALIZED (", 1)
+    runs = "".join(
+        _lpa_run_sql(salt, f"_{k}") for k, salt in enumerate(CONSENSUS_SALTS)
+    )
+    for k in range(len(CONSENSUS_SALTS)):
+        runs = runs.replace(
+            f"l{LPA_ITERS}_{k} AS (", f"l{LPA_ITERS}_{k} AS MATERIALIZED (", 1
+        )
+    hs = "".join(
+        f"""h_{k} AS (
+  SELECT -SUM((cnt * 1.0 / n.nn) * ln(cnt * 1.0 / n.nn)) AS h
+  FROM (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM l{LPA_ITERS}_{k} GROUP BY lbl) g, nn n
+),
+"""
+        for k in range(len(CONSENSUS_SALTS))
+    )
+    nmis = _nmi_pair_sql(0, 1) + _nmi_pair_sql(0, 2) + _nmi_pair_sql(1, 2)
+    ncomm = "\nUNION ALL\n".join(
+        f"  SELECT {k} AS member, CAST(COUNT(DISTINCT lbl) AS BIGINT)"
+        f" AS n_communities FROM l{LPA_ITERS}_{k}"
+        for k in range(len(CONSENSUS_SALTS))
+    )
+    return f"""{head}
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM nodes),
+{runs}{hs}{nmis}scores AS (
+  SELECT 0 AS member, (a.nmi + b.nmi) / 2 AS mean_nmi
+  FROM nmi_01 a, nmi_02 b
+  UNION ALL
+  SELECT 1 AS member, (a.nmi + c.nmi) / 2 FROM nmi_01 a, nmi_12 c
+  UNION ALL
+  SELECT 2 AS member, (b.nmi + c.nmi) / 2 FROM nmi_02 b, nmi_12 c
+),
+ncomm AS (
+{ncomm}
+),
+ranked AS (
+  SELECT s.member, n_communities, mean_nmi,
+         ROW_NUMBER() OVER (ORDER BY mean_nmi DESC, s.member) AS rk
+  FROM scores s JOIN ncomm USING (member)
+)
+SELECT CAST(member AS BIGINT) AS member, n_communities,
+       {sql_round('mean_nmi', 6)} AS mean_nmi,
+       (rk = 1) AS selected
+FROM ranked ORDER BY member
+"""
+
+
+@register("consensus_partition_select", oracle=_consensus_select_oracle())
+def consensus_partition_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'most agreeable member' selection that finishes the
+    reference's consensus procedure (cluster_utils.py:272: mean row of
+    the pairwise-AMI matrix, argmax): every salted LPA ensemble member
+    is scored by its mean pairwise normalized mutual information with
+    the other members, and the winner is flagged. A36 builds the
+    consensus EDGES; this op reproduces the reference's partition-
+    SELECTION semantics over the same ensemble, so a user gets both
+    halves of ConsensusClustering.
+
+    Exactness: contingency tables, marginals and community counts are
+    exact integers; MI/H/NMI are the identical double trees in both
+    engines over those integers, rounded at 6dp.
+
+    Scale shape: each member is one LPA over the checkpointed
+    lexicon-bounded graph (the cost A34/A36 already pay); every NMI
+    runs on |communities|^2-at-most contingency cells; the scoreboard
+    is a 3-row frame.
+    """
+    from ..functions.rounding import round_eps
+    from ..operators.attach import attach_scalars
+
+    edges = skill_cooc_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+
+    members = [
+        label_propagation(edges, salt=salt)
+        .select("id", F.col("community").alias(f"lbl{k}"))
+        .localCheckpoint(eager=True)
+        for k, salt in enumerate(CONSENSUS_SALTS)
+    ]
+
+    def entropy(k: int) -> DataFrame:
+        cnts = members[k].groupBy(f"lbl{k}").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        return attach_scalars(cnts, nn).agg(
+            (-F.sum(
+                (F.col("cnt") * 1.0 / F.col("nn"))
+                * F.log(F.col("cnt") * 1.0 / F.col("nn"))
+            )).alias(f"h{k}")
+        )
+
+    def nmi(a: int, b: int) -> DataFrame:
+        cont = (
+            members[a].join(members[b], "id")
+            .groupBy(f"lbl{a}", f"lbl{b}")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("nij"))
+        )
+        ma = cont.groupBy(f"lbl{a}").agg(F.sum("nij").alias("ai"))
+        mb = cont.groupBy(f"lbl{b}").agg(F.sum("nij").alias("bj"))
+        mi = attach_scalars(
+            cont.join(ma, f"lbl{a}").join(mb, f"lbl{b}"), nn
+        ).agg(
+            F.sum(
+                (F.col("nij") * 1.0 / F.col("nn"))
+                * F.log(
+                    F.col("nij") * 1.0 * F.col("nn")
+                    / (F.col("ai") * 1.0 * F.col("bj"))
+                )
+            ).alias("mi")
+        )
+        out = attach_scalars(attach_scalars(mi, entropy(a)), entropy(b))
+        return out.select(
+            (F.col("mi") / ((F.col(f"h{a}") + F.col(f"h{b}")) / 2))
+            .alias(f"nmi{a}{b}")
+        )
+
+    score = attach_scalars(attach_scalars(nmi(0, 1), nmi(0, 2)), nmi(1, 2))
+    rows = score.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).cast("bigint").alias("member"),
+                    ((F.col("nmi01") + F.col("nmi02")) / 2).alias("mean_nmi"),
+                ),
+                F.struct(
+                    F.lit(1).cast("bigint").alias("member"),
+                    ((F.col("nmi01") + F.col("nmi12")) / 2).alias("mean_nmi"),
+                ),
+                F.struct(
+                    F.lit(2).cast("bigint").alias("member"),
+                    ((F.col("nmi02") + F.col("nmi12")) / 2).alias("mean_nmi"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    ncomm = None
+    for k in range(len(CONSENSUS_SALTS)):
+        one = members[k].agg(
+            F.countDistinct(f"lbl{k}").cast("bigint").alias("n_communities")
+        ).select(F.lit(k).cast("bigint").alias("member"), "n_communities")
+        ncomm = one if ncomm is None else ncomm.unionByName(one)
+    ranked = rows.join(ncomm, "member").select(
+        "member",
+        "n_communities",
+        "mean_nmi",
+        F.row_number()
+        .over(Window.orderBy(F.col("mean_nmi").desc(), "member"))
+        .alias("rk"),  # 3-row scoreboard: dimension-scale window
+    )
+    return ranked.select(
+        "member",
+        "n_communities",
+        round_eps(F.col("mean_nmi"), 6).alias("mean_nmi"),
+        (F.col("rk") == 1).alias("selected"),
+    ).orderBy("member")

@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import shingles, sql_shingles, sql_tokens, tokens
+from ..operators.rank import global_order_stats
 from ..sources import load_table
 from . import register
 
@@ -277,18 +278,19 @@ def sorted_neighborhood_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate blowup by construction: exactly n x w pairs), exact
     verify on the pair frame.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.lower(F.col("text")).alias("key"),
-        shingles(tokens(F.col("text")), SNM_SHINGLE_K).alias("sh"),
+    docs = load_table(spark, sf_dir, "documents")
+    # Global positions via the range-partitioned two-phase rank — no
+    # single-reducer window over the corpus (operators/rank.py). Only
+    # the narrow (doc_id, blocking key) skeleton goes through the
+    # rank's sample + sort passes; the heavy shingle arrays are
+    # computed once and attached by one doc_id equi-join after.
+    skel = docs.select("doc_id", F.lower(F.col("text")).alias("key"))
+    rn = global_order_stats(skel, ["key", "doc_id"], rn_col="rn").select(
+        "doc_id", "rn"
     )
     ranked = docs.select(
-        "doc_id",
-        "sh",
-        F.row_number()
-        .over(Window.orderBy("key", "doc_id"))
-        .alias("rn"),
-    )
+        "doc_id", shingles(tokens(F.col("text")), SNM_SHINGLE_K).alias("sh")
+    ).join(rn, "doc_id")
     ranked = ranked.persist()
     cands = []
     for o in range(1, SNM_WINDOW + 1):

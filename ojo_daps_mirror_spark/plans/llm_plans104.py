@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.attach import attach_scalars
+from ..operators.rank import global_order_stats, ntile_from_rank
 from ..sources import load_table
 from . import register
 
@@ -94,15 +96,23 @@ def quintile_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c", F.col("rev").alias("r1")
     )
     both = a.join(b, "c")
-    q = both.select(
-        "c",
-        F.ntile(5).over(Window.orderBy("r0", "c")).alias("q0"),
-        F.ntile(5).over(Window.orderBy("r1", "c")).alias("q1"),
+    # Quintiles from two range-partitioned global ranks + the exact
+    # NTILE closed form — no unpartitioned NTILE/count windows over
+    # the customer-grain cohort (operators/rank.py).
+    n_tot = both.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = global_order_stats(
+        global_order_stats(both, ["r0", "c"], rn_col="rn0"),
+        ["r1", "c"],
+        rn_col="rn1",
     )
-    w_all = Window.partitionBy()
+    q = attach_scalars(ranked, n_tot).select(
+        "c",
+        "n",
+        ntile_from_rank(F.col("rn0"), F.col("n"), 5).alias("q0"),
+        ntile_from_rank(F.col("rn1"), F.col("n"), 5).alias("q1"),
+    )
     return (
-        q.withColumn("n", F.count(F.lit(1)).over(w_all).cast("bigint"))
-        .groupBy(
+        q.groupBy(
             F.col("q0").cast("bigint").alias(f"quintile_{QM_Y0}"),
             F.col("q1").cast("bigint").alias(f"quintile_{QM_Y1}"),
         )

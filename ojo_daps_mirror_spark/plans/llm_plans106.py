@@ -25,6 +25,8 @@ from ..functions.text import (
     stopword_hits,
     tokens,
 )
+from ..operators.attach import attach_scalars
+from ..operators.rank import global_order_stats, ntile_from_rank
 from ..sources import load_table
 from . import register
 
@@ -342,10 +344,16 @@ def quality_by_length_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = docs.select(
         "doc_id", F.size(toks).alias("n_tokens"), q.alias("q")
     )
-    deciled = m.select(
+    # Decile via the range-partitioned global rank + exact NTILE
+    # closed form — no unpartitioned NTILE window over the doc-grain
+    # frame (operators/rank.py).
+    n_tot = m.agg(F.count(F.lit(1)).cast("bigint").alias("n_tot"))
+    deciled = attach_scalars(
+        global_order_stats(m, ["n_tokens", "doc_id"], rn_col="rn"), n_tot
+    ).select(
         "n_tokens",
         "q",
-        F.ntile(10).over(Window.orderBy("n_tokens", "doc_id")).alias("dec"),
+        ntile_from_rank(F.col("rn"), F.col("n_tot"), 10).alias("dec"),
     )
     return (
         deciled.groupBy(F.col("dec").cast("bigint").alias("length_decile"))

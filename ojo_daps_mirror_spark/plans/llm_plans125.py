@@ -258,7 +258,10 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_chars")
         ).alias("k"),
     )
-    w_all = Window.partitionBy()
+    totals = keyed.agg(
+        F.sum("weight").cast("bigint").alias("total_w"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
     ranked = keyed.select(
         "doc_id",
         "weight",
@@ -267,11 +270,12 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("k").desc(), F.col("doc_id")))
         .cast("bigint")
         .alias("rank"),
-        F.sum("weight").over(w_all).cast("bigint").alias("total_w"),
-        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
     )
+    # the rank<=K filter turns the top-k window into a pushed-down
+    # WindowGroupLimit; the corpus totals attach as a broadcast scalar
+    # instead of a whole-frame window.
     return (
-        ranked.where(F.col("rank") <= WRS_K)
+        attach_scalars(ranked.where(F.col("rank") <= WRS_K), totals)
         .select(
             "rank",
             "doc_id",

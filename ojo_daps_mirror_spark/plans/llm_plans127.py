@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.vectors import cosine, sql_cosine
+from ..operators.rank import attach_prev
 from ..sources import load_table
 from . import register
 
@@ -105,12 +106,13 @@ def suffix_lcp_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(f"substring(text, p, {SUF_CAP})").alias("suf"),
     )
-    w = Window.orderBy("suf", "doc_id")
-    ordered = sufs.select(
-        "doc_id",
-        "suf",
-        F.lag("doc_id").over(w).alias("prev_doc"),
-        F.lag("suf").over(w).alias("prev_suf"),
+    # Suffix adjacency via the range-partitioned distributed lag —
+    # the sharded suffix sort the docstring promises: pid-local lag
+    # windows plus a one-row-per-shard boundary handoff, so the
+    # suffix frame is shuffled once and no single-reducer window or
+    # corpus-grain self-join ever runs (operators/rank.py).
+    ordered = attach_prev(
+        sufs, ["suf", "doc_id"], {"prev_doc": "doc_id", "prev_suf": "suf"}
     )
     lcps = ordered.where(
         F.col("prev_suf").isNotNull() & (F.col("doc_id") != F.col("prev_doc"))

@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 from ..functions.rounding import round_eps, sql_round
 from ..operators.dedup import chain_edges, connected_components
 from ..operators.attach import attach_scalars
+from ..operators.rank import global_order_stats
 from ..sources import load_table
 from . import register
 
@@ -294,18 +295,13 @@ def lorenz_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("v").cast("bigint").alias("sv"),
     )
-    w_cum = (
-        Window.orderBy("v", "o_custkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    sorted_ = cust_rev.select(
-        "v",
-        F.row_number()
-        .over(Window.orderBy("v", "o_custkey"))
-        .cast("bigint")
-        .alias("r"),
-        F.sum("v").over(w_cum).cast("bigint").alias("cum"),
-    )
+    # Rank + running revenue via the range-partitioned two-phase
+    # pass — no single-reducer window over the customer-grain frame
+    # (operators/rank.py).
+    sorted_ = global_order_stats(
+        cust_rev, ["v", "o_custkey"], rn_col="r", cumsum={"cum": "v"}
+    ).select("v", F.col("r").cast("bigint").alias("r"),
+             F.col("cum").cast("bigint").alias("cum"))
     sorted_ = sorted_.persist()
     below = (
         attach_scalars(sorted_, mom)

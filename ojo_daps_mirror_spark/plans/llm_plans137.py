@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..operators.attach import attach_scalars
+from ..operators.rank import global_order_stats
 from ..sources import load_table
 from . import register
 
@@ -197,14 +198,16 @@ def blocking_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost), a bounded-band self-join for candidates, key-grain join
     for truth — the evaluation costs what the blocker costs.
     """
-    keyed = load_table(spark, sf_dir, "documents").select(
+    base = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.md5(F.substring(F.col("text"), 1, 40)).alias("dup_key"),
-        F.row_number()
-        .over(Window.orderBy(F.substring(F.col("text"), 1, 12), "doc_id"))
-        .cast("bigint")
-        .alias("pos"),
+        F.substring(F.col("text"), 1, 12).alias("sort_key"),
     )
+    # blocker positions via the range-partitioned global rank — no
+    # single-reducer window over the corpus (operators/rank.py).
+    keyed = global_order_stats(
+        base, ["sort_key", "doc_id"], rn_col="pos"
+    ).select("doc_id", "dup_key", "pos")
     keyed = keyed.persist()
     a = keyed.alias("a")
     b = keyed.alias("b")

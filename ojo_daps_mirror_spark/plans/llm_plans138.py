@@ -229,12 +229,16 @@ def cucconi_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 2-dp price ties.
 
     Exactness: doubled midranks 2R = 2*rank + ties - 1 are exact
-    integers, so both squared-rank sums are exact 128-bit integers
-    divided by 4; the U/V/rho/C tree is one double expression.
+    integers; BOTH squared-rank sums (direct and contra) are exact
+    128-bit integers cast to double once, at the same point as the
+    oracle, then divided by 4; the U/V/rho/C tree is one double
+    expression on those two numbers.
 
-    Scale shape: one global sort for ranks (the price every rank test
-    in the engine pays — range-partitioned sort, no single-reducer
-    stage), then ONE map-side-combinable aggregate to a single row.
+    Scale shape: ranks come from the VALUE LADDER — one groupBy to
+    (price, sample) cells, one cumulative window over the tiny
+    distinct-price frame (mann_whitney_u's shape) — so no window ever
+    sees the order-grain rows; then ONE map-side-combinable aggregate
+    to a single row.
     """
     samp = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderstatus").isin("F", "O")
@@ -242,33 +246,52 @@ def cucconi_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderstatus") == "O").alias("s2"),
         F.round(F.col("o_totalprice") * 100 + 1e-9).cast("bigint").alias("x"),
     )
-    ranked = samp.select(
-        "s2",
+    # Doubled midranks off the VALUE LADDER, not a global rank window:
+    # group to (price, sample) cells, cumulative-count the distinct-
+    # price frame (a dimension-scale window), and read
+    # 2R = 2*below + ties + 1 per price — identical integers to the
+    # oracle's 2*RANK + COUNT - 1, with no single-reducer pass over
+    # the order-grain frame.
+    cells = samp.groupBy("x", "s2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    per_x = cells.groupBy("x").agg(F.sum("c").cast("bigint").alias("cx"))
+    w_lad = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    ladder = per_x.select(
+        "x",
         (
-            2 * F.rank().over(Window.orderBy("x"))
-            + F.count(F.lit(1)).over(Window.partitionBy("x"))
-            - 1
+            2 * F.coalesce(F.sum("cx").over(w_lad), F.lit(0))
+            + F.col("cx")
+            + 1
         ).cast("bigint").alias("r2"),
     )
+    keyed = cells.join(ladder, "x")
     dec = "decimal(38,0)"
-    r2, s2 = F.col("r2"), F.col("s2")
-    n_col = F.count(F.lit(1)).cast("bigint")
-    agg = ranked.agg(
-        n_col.alias("n"),
-        F.count(F.when(s2, 1)).cast("bigint").alias("n2"),
-        F.sum(F.when(s2, r2.cast(dec) * r2)).cast("double").alias("sr4"),
-        F.sum(F.when(s2, r2.cast(dec))).cast("double").alias("sr1"),
+    r2, s2, c = F.col("r2"), F.col("s2"), F.col("c")
+    agg = keyed.agg(
+        F.sum(c).cast("bigint").alias("n"),
+        F.sum(F.when(s2, c)).cast("bigint").alias("n2"),
+        F.sum(F.when(s2, c.cast(dec) * (r2.cast(dec) * r2)))
+        .cast(dec)
+        .alias("sr4d"),
+        F.sum(F.when(s2, c.cast(dec) * r2)).cast(dec).alias("sr1d"),
     )
-    # contra-rank sum of squares via expansion:
-    #   sum (2(N+1) - r2)^2 = n2*(2(N+1))^2 - 2*(2(N+1))*sum r2 + sum r2^2
+    # Contra-rank sum of squares via the expansion
+    #   sum (2(N+1) - r2)^2 = n2*(2(N+1))^2 - 2*(2(N+1))*sum r2
+    #                         + sum r2^2
+    # evaluated ENTIRELY in decimal(38,0): it is exactly the oracle's
+    # HUGEINT integer, so the single cast to double below is
+    # bit-identical cross-engine at any scale (a double-path expansion
+    # on rounded sr1/sr4 drifts once sr4 passes 2^53).
     n, n2 = F.col("n"), F.col("n2")
-    two_np1 = 2.0 * (n + 1)
-    sr2 = F.col("sr4") / 4.0
-    sc2 = (
-        n2 * two_np1 * two_np1
-        - 2.0 * two_np1 * F.col("sr1")
-        + F.col("sr4")
-    ) / 4.0
+    two_np1_d = (2 * (n + 1)).cast(dec)
+    sc4d = (
+        n2.cast(dec) * two_np1_d * two_np1_d
+        - 2 * two_np1_d * F.col("sr1d")
+        + F.col("sr4d")
+    )
+    sr2 = F.col("sr4d").cast("double") / 4.0
+    sc2 = sc4d.cast("double") / 4.0
     denom = F.sqrt(
         (n - n2) * 1.0 * n2 * (n + 1.0) * (2 * n + 1.0) * (8 * n + 11.0) / 5.0
     )
@@ -333,7 +356,7 @@ signed AS (
 ),
 grouped AS (
   SELECT k // ({AMS_K // AMS_G}) AS grp,
-         AVG(CAST(s AS HUGEINT) * s) AS gmean
+         CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE) / COUNT(*) AS gmean
   FROM signed GROUP BY 1
 ),
 est AS (
@@ -362,8 +385,10 @@ def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     too wide.
 
     Exactness: signs come from the first md5 nibble (< '8' = +1), so
-    both engines compute identical integer sign-sums; Z_k, group
-    means and the median are exact integer/half-integer arithmetic.
+    both engines compute identical integer sign-sums; each group mean
+    divides one exactly-summed 128-bit integer by the group size and
+    casts to double at the same point in both engines, so the median
+    is bit-identical at any scale.
 
     Scale shape: token counts are one shuffle (shared with every
     vocabulary op); the K-way expansion is over the VOCAB frame, not
@@ -414,9 +439,21 @@ def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.sum("sf").cast("bigint").alias("s"))
     )
-    grouped = signed.groupBy(
-        (F.col("k") / (AMS_K // AMS_G)).cast("int").alias("grp")
-    ).agg(F.avg(F.col("s").cast(dec) * F.col("s")).alias("gmean"))
+    grouped = (
+        signed.groupBy(
+            (F.col("k") / (AMS_K // AMS_G)).cast("int").alias("grp")
+        )
+        .agg(
+            F.sum(F.col("s").cast(dec) * F.col("s")).cast(dec).alias("ss"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+        # exact 128-bit integer sum divided by the group size, cast to
+        # double at the SAME point as the oracle's CAST(SUM(..) AS
+        # DOUBLE)/COUNT(*): bit-identical in both engines at any scale
+        # (a per-engine AVG would round along different paths once the
+        # group sum passes 2^53).
+        .select((F.col("ss").cast("double") / F.col("cnt")).alias("gmean"))
+    )
     est = grouped.agg(
         ((F.sum("gmean") - F.min("gmean") - F.max("gmean")) / 2.0)
         .alias("est_f2")

@@ -16,6 +16,7 @@ from ..functions.rounding import round_eps, sql_round
 from ..functions.text import hash64, sql_hash64, sql_tokens, tokens
 from ..functions.vectors import sql_cosine
 from ..sources import load_table
+from .vector_plans import QUERY_PANEL_K, query_panel
 from . import register
 
 # ---------------------------------------------------------------- B51
@@ -115,7 +116,7 @@ PAIR_MOD = 5  # vec_id % 5 == 0 → anchor subset
 
 _C69_ORACLE = f"""
 WITH v AS (SELECT vec_id, embedding, label FROM embeddings),
-q AS (SELECT * FROM v WHERE vec_id % {PAIR_MOD} = 0),
+q AS (SELECT * FROM v WHERE vec_id % {PAIR_MOD} = 0 ORDER BY vec_id LIMIT {QUERY_PANEL_K}),
 scored AS (
   SELECT q.vec_id AS query_id, v.vec_id AS nid, v.label AS nlabel,
          q.label AS qlabel, {sql_cosine('q.embedding', 'v.embedding')} AS cos
@@ -160,7 +161,7 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
     )
-    anchors = emb.where(F.col("vec_id") % PAIR_MOD == 0).collect()
+    anchors = query_panel(emb, PAIR_MOD).collect()
     q_ids = np.array([r["vec_id"] for r in anchors])
     q_lab = np.array([r["label"] for r in anchors])
     Q = np.stack([r["e"] for r in anchors]).astype(np.float64)

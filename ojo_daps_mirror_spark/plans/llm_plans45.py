@@ -19,6 +19,7 @@ from ..functions.rounding import round_eps, sql_round
 from ..functions.text import hash64, sql_hash64, sql_tokens, tokens
 from ..operators.graph import HITS_ITERS, hits
 from ..sources import load_table
+from .vector_plans import QUERY_PANEL_K, query_panel
 from . import register
 
 # ---------------------------------------------------------------- B94
@@ -220,7 +221,7 @@ def _c104_oracle() -> str:
     full = max(MRL_DIMS)
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-q AS (SELECT vec_id, e FROM v WHERE vec_id % {MRL_MOD} = 0),
+q AS (SELECT vec_id, e FROM v WHERE vec_id % {MRL_MOD} = 0 ORDER BY vec_id LIMIT {QUERY_PANEL_K}),
 scored AS ({per_dim}),
 ranked AS (
   SELECT dim, query_id, nid, ROW_NUMBER() OVER (
@@ -265,7 +266,7 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    queries = emb.where(F.col("vec_id") % MRL_MOD == 0).collect()
+    queries = query_panel(emb, MRL_MOD).collect()
     q_ids = np.array([r["vec_id"] for r in queries])
     Q = np.stack([r["e"] for r in queries]).astype(np.float64)
     q_norm = {

@@ -21,6 +21,8 @@ from ..functions.text import (
     stopword_hits,
     tokens,
 )
+from ..operators.attach import attach_scalars
+from ..operators.rank import global_order_stats
 from ..sources import load_table
 from . import register
 
@@ -166,16 +168,26 @@ def quality_percentile_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
             stopword_hits(toks) / F.greatest(F.size(toks), F.lit(1))
         ).alias("stop_ratio_raw"),
     )
-    ranked = sig.select(
+    # percent_rank = (rank-1)/(n-1) from two range-partitioned
+    # global ranks (the tiebroken order is total, so rank ==
+    # row_number) — no unpartitioned windows over doc grain
+    # (operators/rank.py).
+    n_tot = sig.agg(F.count(F.lit(1)).cast("bigint").alias("n_tot"))
+    ranked = attach_scalars(
+        global_order_stats(
+            global_order_stats(
+                sig, ["n_tokens", "doc_id"], rn_col="rn_len"
+            ),
+            ["stop_ratio_raw", "doc_id"],
+            rn_col="rn_stop",
+        ),
+        n_tot,
+    ).select(
         "doc_id",
         "n_tokens",
         round_eps(F.col("stop_ratio_raw"), 6).alias("stop_ratio"),
-        F.percent_rank()
-        .over(Window.orderBy("n_tokens", "doc_id"))
-        .alias("pr_len"),
-        F.percent_rank()
-        .over(Window.orderBy("stop_ratio_raw", "doc_id"))
-        .alias("pr_stop"),
+        ((F.col("rn_len") - 1) / (F.col("n_tot") - 1)).alias("pr_len"),
+        ((F.col("rn_stop") - 1) / (F.col("n_tot") - 1)).alias("pr_stop"),
     )
     return ranked.select(
         "doc_id",

@@ -15,6 +15,8 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import sql_tokens, tokens
+from ..operators.attach import attach_scalars
+from ..operators.rank import global_order_stats, ntile_from_rank
 from ..sources import load_table
 from . import register
 
@@ -104,9 +106,19 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     row. Per-group curves (per segment) pool the same way with a
     group key on every frame.
     """
-    deciles = load_table(spark, sf_dir, "customer").select(
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    # Decile via the range-partitioned global rank + the exact NTILE
+    # closed form — no unpartitioned NTILE window over customer grain
+    # (operators/rank.py).
+    n_tot = cust.agg(F.count(F.lit(1)).cast("bigint").alias("n_tot"))
+    deciles = attach_scalars(
+        global_order_stats(cust, ["c_acctbal", "c_custkey"], rn_col="rn"),
+        n_tot,
+    ).select(
         "c_custkey",
-        F.ntile(ISO_BINS).over(Window.orderBy("c_acctbal", "c_custkey")).alias("d"),
+        ntile_from_rank(F.col("rn"), F.col("n_tot"), ISO_BINS).alias("d"),
     )
     buyers = (
         load_table(spark, sf_dir, "orders")

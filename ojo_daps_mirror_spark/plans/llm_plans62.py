@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.rank import global_order_stats
 from ..sources import load_table
 from . import register
 
@@ -111,10 +112,12 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).cast("bigint").alias("delta"),
         )
     )
-    ws = Window.orderBy("t", "delta", "user_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    swept = pts.select("t", F.sum("delta").over(ws).alias("conc"))
+    # Running concurrency via the range-partitioned cumulative sum —
+    # no unpartitioned window over the event-boundary stream
+    # (operators/rank.py).
+    swept = global_order_stats(
+        pts, ["t", "delta", "user_id"], rn_col="__rn", cumsum={"conc": "delta"}
+    ).select("t", "conc")
     return (
         swept.groupBy(
             F.date_format(F.timestamp_micros(F.col("t")), "yyyy-MM-dd").alias(

@@ -18,12 +18,25 @@ from ..functions.vectors import sql_cosine
 from ..sources import load_table
 from . import register
 from .llm_plans8 import _C52_ORACLE
-from .vector_plans import ANN_K, QUERY_MOD, _C8_ORACLE
+from .vector_plans import (
+    ANN_K,
+    QUERY_MOD,
+    QUERY_PANEL_K,
+    _C8_ORACLE,
+    query_panel,
+)
+
+# C8's oracle with the fixed-count panel: same mod spread, but the
+# driver-collected query matrix is capped at QUERY_PANEL_K rows.
+_C53_ORACLE = _C8_ORACLE.replace(
+    f"WHERE vec_id % {QUERY_MOD} = 0",
+    f"WHERE vec_id % {QUERY_MOD} = 0 ORDER BY vec_id LIMIT {QUERY_PANEL_K}",
+)
 
 # ---------------------------------------------------------------- C53
 
 
-@register("ann_topk_blocked", oracle=_C8_ORACLE)
+@register("ann_topk_blocked", oracle=_C53_ORACLE)
 def ann_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT top-k cosine neighbours with a plan that scales — the
     production form of C8's baseline. C8 is a BroadcastNestedLoopJoin
@@ -45,7 +58,7 @@ def ann_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    queries = emb.where(F.col("vec_id") % QUERY_MOD == 0).collect()
+    queries = query_panel(emb, QUERY_MOD).collect()
     q_ids = np.array([r["vec_id"] for r in queries])
     Q = np.stack([r["e"] for r in queries]).astype(np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)

@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.attach import attach_scalars
+from ..operators.rank import global_order_stats, ntile_from_rank
 from ..sources import load_table
 from . import register
 
@@ -175,9 +177,14 @@ def lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev")
         )
     )
-    deciled = cust.select(
+    # Decile assignment from the range-partitioned global rank +
+    # the exact NTILE closed form — no unpartitioned NTILE window
+    # over the customer-grain frame (operators/rank.py).
+    n_tot = cust.agg(F.count(F.lit(1)).cast("bigint").alias("n_tot"))
+    ranked = global_order_stats(cust, ["rev", "c"], rn_col="rn")
+    deciled = attach_scalars(ranked, n_tot).select(
         "rev",
-        F.ntile(10).over(Window.orderBy("rev", "c")).alias("decile"),
+        ntile_from_rank(F.col("rn"), F.col("n_tot"), 10).alias("decile"),
     )
     per_dec = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

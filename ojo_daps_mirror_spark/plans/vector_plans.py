@@ -24,6 +24,16 @@ from . import register
 NEAR_DUP_COS = 0.4  # testdata embeddings are near-orthogonal; 0.4 ≈ strong
 ANN_K = 5
 QUERY_MOD = 50  # vec_id % 50 == 0 → the ANN query subset
+QUERY_PANEL_K = 64  # hard cap on any driver-collected query panel
+
+
+def query_panel(df, mod: int, k: int = QUERY_PANEL_K):
+    """Deterministic FIXED-COUNT query panel: the first ``k`` of the
+    mod-selected vec_ids. The mod keeps the panel spread across the id
+    space; the ORDER BY + LIMIT caps the driver collect at O(k) rows
+    regardless of corpus size — a mod-only panel is a fixed FRACTION
+    of the corpus and therefore an O(n) driver OOM at 100 TB."""
+    return df.where(F.col("vec_id") % mod == 0).orderBy("vec_id").limit(k)
 
 
 # ---------------------------------------------------------------- A13
@@ -596,14 +606,19 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "vec_id": batch["vec_id"],
-                    "codes": list(codes),
+                    # hyphen-packed code string, not array<int>: the
+                    # result must stay hashable/sortable for row-level
+                    # canonicalization harnesses (lists break pandas
+                    # factorize), and a 16-symbol alphabet loses
+                    # nothing by stringifying.
+                    "codes": ["-".join(map(str, c)) for c in codes],
                     "recon_error": np.round(err, 6),
                 }
             )
 
     return emb.mapInPandas(
         encode_with_err,
-        schema="vec_id bigint, codes array<int>, recon_error double",
+        schema="vec_id bigint, codes string, recon_error double",
     ).orderBy("vec_id")
 
 
@@ -637,7 +652,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     books, sub = _pq_train(spark, emb)
 
-    queries = emb.where(F.col("vec_id") % QUERY_MOD == 0).collect()
+    queries = query_panel(emb, QUERY_MOD).collect()
     q_ids = np.array([r["vec_id"] for r in queries])
     Q = np.stack([r["e"] for r in queries]).astype(np.float64)
     # Distance tables: T[q, m, k] = ||Q[q, m-th block] - books[m, k]||²
@@ -700,7 +715,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Refine: exact L2 on shortlisted rows only — broadcast the tiny
     # shortlist onto the vector table, attach query vectors the same
     # way, distance as a codegen zip_with/aggregate expression.
-    qvecs = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
+    qvecs = query_panel(emb, QUERY_MOD).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
     refined = (

@@ -1,0 +1,58 @@
+"""Invariants of the range-partitioned rank operator (operators/rank.py).
+
+The operator's correctness rests on both plan branches reading the
+SAME materialized range exchange (ReuseExchange): if an environment
+ever re-sampled boundaries per branch, ranks would duplicate or gap.
+These tests assert the invariant directly — every rank in 1..n exactly
+once, order agreement, exact running sums, and NTILE equivalence with
+Spark's own window — so a reuse regression fails loudly rather than
+corrupting results.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ojo_daps_mirror_spark.operators.rank import (
+    global_order_stats,
+    ntile_from_rank,
+)
+
+
+@pytest.mark.parametrize("n", [1, 237, 10007])
+def test_rank_is_a_permutation_and_sorted(spark, n):
+    df = spark.range(n).select(
+        "id", (F.rand(seed=n) * 997).cast("long").alias("v")
+    )
+    rows = (
+        global_order_stats(df, ["v", "id"], rn_col="rn", cumsum={"cum": "v"})
+        .orderBy("rn")
+        .collect()
+    )
+    assert [r["rn"] for r in rows] == list(range(1, n + 1))
+    keys = [(r["v"], r["id"]) for r in rows]
+    assert keys == sorted(keys)
+    running = 0
+    for r in rows:
+        running += r["v"]
+        assert r["cum"] == running
+
+
+@pytest.mark.parametrize("n,k", [(7, 5), (11, 5), (10, 5), (3, 10), (1009, 10)])
+def test_ntile_from_rank_matches_spark_ntile(spark, n, k):
+    d = spark.createDataFrame([(i,) for i in range(1, n + 1)], "rn bigint")
+    mine = {
+        r["rn"]: r["b"]
+        for r in d.select(
+            "rn", ntile_from_rank(F.col("rn"), F.lit(n), k).alias("b")
+        ).collect()
+    }
+    ref = {
+        r["rn"]: r["b"]
+        for r in d.select(
+            "rn", F.ntile(k).over(Window.orderBy("rn")).alias("b")
+        ).collect()
+    }
+    assert mine == ref

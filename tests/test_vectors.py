@@ -174,8 +174,9 @@ def test_pq_encode_soundness(spark, sf_dir):
     }
     assert set(out) == set(emb)
     for r in out.values():
-        assert len(r["codes"]) == PQ_M
-        assert all(0 <= c < PQ_K for c in r["codes"])
+        parts = [int(c) for c in r["codes"].split("-")]
+        assert len(parts) == PQ_M
+        assert all(0 <= c < PQ_K for c in parts)
 
     X = np.stack([emb[v] for v in sorted(emb)])
     base = np.sqrt(((X - X.mean(0)) ** 2).sum(1)).mean()  # 1-centroid baseline
@@ -188,7 +189,11 @@ def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
     the exact L2 top-k on the same query subset."""
     import numpy as np
 
-    from ojo_daps_mirror_spark.plans.vector_plans import ANN_K, QUERY_MOD
+    from ojo_daps_mirror_spark.plans.vector_plans import (
+        ANN_K,
+        QUERY_MOD,
+        QUERY_PANEL_K,
+    )
     from ojo_daps_mirror_spark.sources import load_table
 
     emb = {
@@ -198,7 +203,7 @@ def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
     ids = np.array(sorted(emb))
     X = np.stack([emb[v] for v in ids])
     exact_sets = {}
-    for q in ids[ids % QUERY_MOD == 0]:
+    for q in ids[ids % QUERY_MOD == 0][:QUERY_PANEL_K]:
         d = ((X - emb[q]) ** 2).sum(1)
         order = np.lexsort((ids, d))
         nn = [ids[i] for i in order if ids[i] != q][:ANN_K]
