@@ -54,3 +54,10 @@ def attach_scalars(left: DataFrame, right: DataFrame) -> DataFrame:
         .join(F.broadcast(right.select("*", _zero_key(right))), on=_KEY)
         .drop(_KEY)
     )
+
+
+def scalars(right: DataFrame):
+    """Curried :func:`attach_scalars` for ``DataFrame.transform``
+    chains: ``df.crossJoin(F.broadcast(x))`` becomes
+    ``df.transform(scalars(x))`` without restructuring the chain."""
+    return lambda left: attach_scalars(left, right)

@@ -34,6 +34,7 @@ from pyspark.sql.window import Window
 from ..functions.rounding import round_eps
 from ..functions.text import STOPWORDS, hash64, sql_hash64, sql_tokens, tokens
 from ..functions.vectors import sql_cosine
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -317,7 +318,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df, "tok")
-        .join(F.broadcast(n_docs))
+        .transform(scalars(n_docs))
         .select(
             "doc_id",
             "tok",

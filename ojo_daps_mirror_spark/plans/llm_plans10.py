@@ -13,6 +13,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import sql_tokens, tokens
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -412,7 +413,7 @@ def rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("frequency"),
             F.round(F.sum("value") + 1e-9, 4).alias("monetary"),
         )
-        .join(F.broadcast(horizon))
+        .transform(scalars(horizon))
         .select(
             "user_id",
             F.datediff(F.to_date("now"), F.to_date("last_ts"))

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -135,7 +136,7 @@ def meta_fixed_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1.0 / F.sqrt(F.sum("w"))).alias("se"),
     )
     het = (
-        eff.join(F.broadcast(pooled))
+        eff.transform(scalars(pooled))
         .groupBy("k", "dbar", "se")
         .agg(
             F.sum(
@@ -328,7 +329,7 @@ def burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= BD_TOP_TERMS)
         .select("tok")
     )
-    grid = tot.crossJoin(F.broadcast(top_terms))
+    grid = tot.transform(scalars(top_terms))
     freq = grid.join(tf, ["source", "tok"], "left").select(
         "source",
         "tok",

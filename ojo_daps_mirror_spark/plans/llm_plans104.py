@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
-from ..operators.attach import attach_scalars
+from ..operators.attach import attach_scalars, scalars
 from ..operators.rank import global_order_stats, ntile_from_rank
 from ..sources import load_table
 from . import register
@@ -372,7 +372,7 @@ def jelinek_mercer_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             tr_tok.select(F.col("tok").alias("w2"), "cu"), "w2", "left"
         )
-        .join(F.broadcast(tr_tot))
+        .transform(scalars(tr_tot))
         .select(
             "cnt",
             F.when(
@@ -424,7 +424,7 @@ def jelinek_mercer_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ll0"),
     )
     ll1 = (
-        mix.join(F.broadcast(em))
+        mix.transform(scalars(em))
         .groupBy("n_events", "n_oov", "lam1", "ll0")
         .agg(
             (

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -379,7 +380,7 @@ def char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang", "bg")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    grid = ev.join(F.broadcast(tr_tot)).join(F.broadcast(vocab))
+    grid = ev.transform(scalars(tr_tot)).transform(scalars(vocab))
     scored = (
         grid.join(
             tr.select("l", "bg", F.col("c").alias("tc")), ["l", "bg"], "left"

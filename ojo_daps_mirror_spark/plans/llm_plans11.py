@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import shingles, sql_shingles, sql_tokens, tokens
 from ..operators.asof import asof_join
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 from .text_plans import MH_SHINGLE_K, _jaccard_verify
@@ -345,7 +346,7 @@ def item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(part_n.select(F.col("pk").alias("b"), F.col("n").alias("nb"))),
             "b",
         )
-        .crossJoin(F.broadcast(n_orders))
+        .transform(scalars(n_orders))
         .select(
             F.col("a").alias("part"),
             F.col("b").alias("co_part"),

@@ -262,20 +262,22 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("weight").cast("bigint").alias("total_w"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
-    ranked = keyed.select(
+    # Global top-K via orderBy+limit — Spark plans it as
+    # TakeOrderedAndProject (per-partition top-K, bounded merge), so
+    # no window ever sees the doc-grain frame; the rank is then a
+    # row_number over the K-row survivor frame.
+    topk = keyed.orderBy(F.col("k").desc(), F.col("doc_id")).limit(WRS_K)
+    ranked = topk.select(
         "doc_id",
         "weight",
         "k",
         F.row_number()
         .over(Window.orderBy(F.col("k").desc(), F.col("doc_id")))
         .cast("bigint")
-        .alias("rank"),
+        .alias("rank"),  # K-row frame: dimension-scale window
     )
-    # the rank<=K filter turns the top-k window into a pushed-down
-    # WindowGroupLimit; the corpus totals attach as a broadcast scalar
-    # instead of a whole-frame window.
     return (
-        attach_scalars(ranked.where(F.col("rank") <= WRS_K), totals)
+        attach_scalars(ranked, totals)
         .select(
             "rank",
             "doc_id",

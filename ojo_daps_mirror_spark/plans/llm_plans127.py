@@ -141,7 +141,11 @@ def suffix_lcp_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("db").cast("bigint").alias("doc_b"),
         )
     )
-    ranked = spans.select(
+    # Global top-k via orderBy+limit (TakeOrderedAndProject: bounded
+    # per-partition top-k + merge); the rank window then runs on the
+    # {LCP_TOP}-row survivor frame only.
+    top = spans.orderBy(F.col("lcp").desc(), "shared_prefix").limit(LCP_TOP)
+    return top.select(
         F.row_number()
         .over(Window.orderBy(F.col("lcp").desc(), "shared_prefix"))
         .cast("bigint")
@@ -151,8 +155,7 @@ def suffix_lcp_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "adjacencies",
         "doc_a",
         "doc_b",
-    )
-    return ranked.where(F.col("rank") <= LCP_TOP).orderBy("rank")
+    ).orderBy("rank")
 
 
 # ---------------------------------------------------------------- C208

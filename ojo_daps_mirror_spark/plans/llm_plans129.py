@@ -21,7 +21,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.vectors import cosine, sql_cosine
-from ..operators.attach import attach_scalars
+from ..operators.attach import attach_scalars, scalars
 from ..sources import load_table
 from . import register
 
@@ -147,7 +147,7 @@ def pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("sy"),
     )
-    fv = weekly.crossJoin(F.broadcast(mom)).select(
+    fv = weekly.transform(scalars(mom)).select(
         F.row_number().over(Window.orderBy("w")).cast("bigint").alias("i"),
         (F.col("n") * F.col("y") - F.col("sy")).cast("bigint").alias("f"),
         "n",
@@ -173,7 +173,7 @@ def pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rs = (
-        lagsums.crossJoin(F.broadcast(denom))
+        lagsums.transform(scalars(denom))
         .groupBy("n")
         .agg(
             *[
@@ -304,7 +304,7 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = seed.select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
-    d = e.crossJoin(F.broadcast(c)).select(
+    d = e.transform(scalars(c)).select(
         "vec_id",
         "embedding",
         (1.0 - cosine(F.col("embedding"), F.col("ce"))).alias("dmin"),
@@ -317,7 +317,7 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         fr = far.collect()[0]
         rows.append((t, int(fr["vec_id"])))
         c = far.select(F.col("embedding").alias("ce"))
-        d_new = d.crossJoin(F.broadcast(c)).select(
+        d_new = d.transform(scalars(c)).select(
             "vec_id",
             "embedding",
             F.least(

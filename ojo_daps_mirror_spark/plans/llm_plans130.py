@@ -20,7 +20,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import hash64, sql_hash64
-from ..operators.attach import attach_scalars
+from ..operators.attach import attach_scalars, scalars
 from ..sources import load_table
 from . import register
 
@@ -138,7 +138,7 @@ def max_consensus_line(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("slope"),
     )
     scored = (
-        cand.crossJoin(F.broadcast(tol))
+        cand.transform(scalars(tol))
         .crossJoin(pts.select(F.col("t").alias("pt"), F.col("y").alias("py")))
         .select(
             "t1",

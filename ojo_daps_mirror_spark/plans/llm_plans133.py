@@ -19,6 +19,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.vectors import cosine, sql_cosine
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -360,8 +361,8 @@ def neardup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_wedges")
     )
     out = (
-        n_edges.crossJoin(F.broadcast(n_wedges))
-        .crossJoin(F.broadcast(closed))
+        n_edges.transform(scalars(n_wedges))
+        .transform(scalars(closed))
     )
     return out.select(
         "n_edges",

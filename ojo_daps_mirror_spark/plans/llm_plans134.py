@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
-from ..operators.attach import attach_scalars
+from ..operators.attach import attach_scalars, scalars
 from ..sources import load_table
 from . import register
 
@@ -119,7 +119,7 @@ def siegel_repeated_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(med_slope, 0.5)").alias("slope"),
     )
     icpt = (
-        pts.crossJoin(F.broadcast(fit))
+        pts.transform(scalars(fit))
         .groupBy("slope", "n")
         .agg(
             F.expr("percentile(y - slope * t, 0.5)").alias("intercept")

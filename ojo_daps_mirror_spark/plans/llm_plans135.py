@@ -19,7 +19,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..operators.dedup import chain_edges, connected_components
-from ..operators.attach import attach_scalars
+from ..operators.attach import attach_scalars, scalars
 from ..operators.rank import global_order_stats
 from ..sources import load_table
 from . import register
@@ -155,8 +155,8 @@ def sen_slope_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("tie_term")
     ) / 18.0
     cuts = (
-        ties.crossJoin(F.broadcast(nn))
-        .crossJoin(F.broadcast(np_))
+        ties.transform(scalars(nn))
+        .transform(scalars(np_))
         .select(
             F.col("np").alias("npc"),
             "n",
@@ -173,7 +173,7 @@ def sen_slope_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     sen = slopes.agg(F.expr("percentile(s, 0.5)").alias("sen_slope"))
     picked = (
         ranked.drop("np")
-        .crossJoin(F.broadcast(cuts))
+        .transform(scalars(cuts))
         .select(
             "s",
             "r",
@@ -193,7 +193,7 @@ def sen_slope_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    out = picked.crossJoin(F.broadcast(sen))
+    out = picked.transform(scalars(sen))
     return out.select(
         F.col("n").alias("n_weeks"),
         F.col("np").alias("n_slopes"),

@@ -396,7 +396,11 @@ def memorization_risk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint"),
         )
     )
-    ranked = scored.select(
+    # Global top-N via orderBy+limit (TakeOrderedAndProject: bounded
+    # per-partition top-N + merge), then rank over the N-row frame —
+    # no unpartitioned window over doc grain.
+    top = scored.orderBy(F.col("risk").desc(), "doc_id").limit(MR_TOP)
+    return top.select(
         F.row_number()
         .over(Window.orderBy(F.col("risk").desc(), "doc_id"))
         .cast("bigint")
@@ -406,5 +410,4 @@ def memorization_risk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_size",
         "n_unique_trigrams",
         "risk",
-    )
-    return ranked.where(F.col("rank") <= MR_TOP).orderBy("rank")
+    ).orderBy("rank")

@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import hash64, sql_hash64, sql_tokens, tokens
 from ..functions.vectors import sql_cosine
+from ..operators.attach import scalars
 from ..sources import load_table
 from .vector_plans import QUERY_PANEL_K, query_panel
 from . import register
@@ -342,7 +343,7 @@ def chars_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.col("n_chars") > F.col("q3")).cast("int")
     )
     return (
-        docs.crossJoin(F.broadcast(cuts))
+        docs.transform(scalars(cuts))
         .select(bucket.alias("bucket"), "n_chars")
         .groupBy("bucket")
         .agg(

@@ -13,6 +13,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import sql_tokens, tokens
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -181,7 +182,7 @@ def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c2.join(F.broadcast(left), "w1")
         .join(F.broadcast(cont), "w2")
-        .crossJoin(F.broadcast(nt))
+        .transform(scalars(nt))
         .select("w1", "w2", "c", round_eps(p_kn, 6).alias("p_kn"))
         .orderBy(F.desc("c"), "w1", "w2")
         .limit(KN_TOP)

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -129,7 +130,7 @@ def sequence_mining_2seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = ev.agg(F.count_distinct("user_id").alias("t"))
     return (
-        pairs.crossJoin(F.broadcast(tot))
+        pairs.transform(scalars(tot))
         .select(
             "first_event",
             "then_event",

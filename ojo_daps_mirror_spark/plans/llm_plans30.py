@@ -13,6 +13,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import hash64, sql_hash64
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -77,7 +78,7 @@ def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.covar_pop("x", "y") / F.var_pop("x")).alias("theta"),
         F.avg("x").alias("xbar"),
     )
-    adj = users.crossJoin(F.broadcast(glob)).select(
+    adj = users.transform(scalars(glob)).select(
         "variant",
         "y",
         (F.col("y") - F.col("theta") * (F.col("x") - F.col("xbar"))).alias("y_cuped"),
@@ -164,7 +165,7 @@ def lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        per.crossJoin(F.broadcast(tot))
+        per.transform(scalars(tot))
         .select(
             "decile",
             "n",

@@ -13,6 +13,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import sql_tokens, tokens
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -156,7 +157,7 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = lm.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
     ce = (
         toks.join(F.broadcast(lm), "tok")
-        .crossJoin(F.broadcast(tot))
+        .transform(scalars(tot))
         .groupBy("doc_id")
         .agg(
             round_eps(
@@ -174,7 +175,7 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
     )
     return (
-        ce.crossJoin(F.broadcast(cuts))
+        ce.transform(scalars(cuts))
         .groupBy(bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

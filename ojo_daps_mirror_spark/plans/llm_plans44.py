@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.snapshot import monday_of
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -195,14 +196,14 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(slope, 0.5)").alias("slope"),
     )
     icpt = (
-        weekly.crossJoin(F.broadcast(m))
+        weekly.transform(scalars(m))
         .select((F.col("n") - F.col("slope") * F.col("x")).alias("resid"))
         .agg(F.expr("percentile(resid, 0.5)").alias("intercept"))
     )
     n_weeks = weekly.agg(F.count(F.lit(1)).alias("n_weeks"))
     return (
-        n_weeks.crossJoin(F.broadcast(m))
-        .crossJoin(F.broadcast(icpt))
+        n_weeks.transform(scalars(m))
+        .transform(scalars(icpt))
         .select(
             "n_weeks",
             "n_pairs",

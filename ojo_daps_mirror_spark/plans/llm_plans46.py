@@ -14,6 +14,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import sql_tokens, tokens
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -187,7 +188,7 @@ def centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     diff = F.zip_with(F.col("e"), F.col("c"), lambda x, y: (x - y) * (x - y))
     dist = F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
-    dists = emb.crossJoin(F.broadcast(cent)).select(
+    dists = emb.transform(scalars(cent)).select(
         "vec_id", "label", "clabel", dist.alias("dist")
     )
     ab = dists.groupBy("vec_id", "label").agg(

@@ -21,6 +21,7 @@ from ..functions.text import (
     stopword_hits,
     tokens,
 )
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -109,7 +110,7 @@ def seasonal_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = (F.col("r6") - F.col("mu")) / F.col("sigma")
     return (
-        resid.crossJoin(F.broadcast(stats))
+        resid.transform(scalars(stats))
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             "n_orders",
@@ -297,7 +298,7 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = (
         st.join(tot, "t")
         .join(F.broadcast(src_tot), "source")
-        .crossJoin(F.broadcast(gl))
+        .transform(scalars(gl))
         .select("source", "n_s", kl9.alias("kl9"))
     )
     return (

@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import sql_tokens, tokens
 from ..operators.snapshot import monday_of
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -186,7 +187,7 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(v,) for v in MK_VARIANTS], "variant string"
     )
     redirected = (
-        base.crossJoin(F.broadcast(variants))
+        base.transform(scalars(variants))
         .where(F.col("f") != F.col("variant"))
         .select(
             "variant",
@@ -265,7 +266,7 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eff = (
         solved.where(F.col("variant") != "none")
-        .crossJoin(F.broadcast(base_p))
+        .transform(scalars(base_p))
         .select(
             F.col("variant").alias("channel"),
             "p_base",
@@ -365,7 +366,7 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = purchases.groupBy("cohort", "age").agg(F.sum("v4").alias("v4"))
     dense = (
-        cohort_size.crossJoin(F.broadcast(horizon))
+        cohort_size.transform(scalars(horizon))
         .select(
             "cohort",
             "n_users",

@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import sql_tokens, tokens
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 from .llm_plans3 import PACK_BUCKETS, PACK_CAP
@@ -170,7 +171,7 @@ def join_cardinality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .agg(F.count(F.lit(1)).alias("actual_rows"))
         )
-        return pred.crossJoin(F.broadcast(actual)).select(
+        return pred.transform(scalars(actual)).select(
             F.lit(label).alias("join_pair"),
             "predicted_rows",
             "actual_rows",

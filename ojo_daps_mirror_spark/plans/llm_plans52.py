@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import sql_tokens, tokens
 from ..functions.vectors import cosine, sql_cosine
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -110,7 +111,7 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rels = (
         emb.where(F.col("vec_id") != MMR_QUERY_ID)
-        .crossJoin(F.broadcast(q))
+        .transform(scalars(q))
         .select(
             F.col("vec_id").alias("vid"),
             F.round(cosine(F.col("e"), F.col("qe")), 9).alias("rel"),
@@ -256,7 +257,7 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     return (
-        weighted.crossJoin(F.broadcast(tot))
+        weighted.transform(scalars(tot))
         .select(
             F.col("t").alias("token"),
             F.col("c").alias("cnt"),

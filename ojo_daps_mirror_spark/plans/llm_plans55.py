@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..operators.snapshot import monday_of
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -161,7 +162,7 @@ def backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     thr = weekly.agg(F.expr("percentile(n, 0.25)").alias("p25"))
     flagged = (
-        weekly.crossJoin(F.broadcast(thr))
+        weekly.transform(scalars(thr))
         .where(F.col("n") < F.col("p25"))
         .select(
             "week",

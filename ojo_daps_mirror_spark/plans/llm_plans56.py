@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 from .llm_plans55 import QK_BITS, _morton_sql, quadkey_cells
@@ -78,7 +79,7 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_cum = Window.orderBy(F.desc("rev4"), "l_partkey").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = rev.crossJoin(F.broadcast(tot)).select(
+    cum = rev.transform(scalars(tot)).select(
         "l_partkey",
         "rev4",
         F.sum("rev4").over(w_cum).alias("cum4"),
@@ -229,7 +230,7 @@ def index_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = assigned.agg(F.sum("n").alias("t"))
     return (
-        assigned.crossJoin(F.broadcast(tot))
+        assigned.transform(scalars(tot))
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_cells"),

@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import sql_hash64
 from ..functions.text import hash64
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 from .llm_plans33 import _C92_ORACLE
@@ -104,7 +105,7 @@ def calibration_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sq10").cast("bigint").alias("sq_sum"),
     )
     return (
-        binned.crossJoin(F.broadcast(tot))
+        binned.transform(scalars(tot))
         .groupBy("bin", "sq_sum", "n_users")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -297,7 +298,7 @@ def sequence_mining_3seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = seqs.agg(F.count(F.lit(1)).alias("nu"))
     support = F.col("n_users") * 1.0 / F.col("nu")
     return (
-        counts.crossJoin(F.broadcast(tot))
+        counts.transform(scalars(tot))
         .where(support >= SEQ3_MIN_SUPPORT)
         .select(
             "t1",

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import hash64, sql_hash64
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -168,8 +169,8 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base_tot = base.agg(F.sum("cnt_all").cast("bigint").alias("n_all"))
     grid = (
-        src_tot.crossJoin(F.broadcast(base))
-        .crossJoin(F.broadcast(base_tot))
+        src_tot.transform(scalars(base))
+        .transform(scalars(base_tot))
         .join(F.broadcast(binned), ["source", "bin"], "left")
         .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
     )

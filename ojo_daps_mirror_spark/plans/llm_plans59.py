@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -132,7 +133,7 @@ def roc_auc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("neg").over(wd).cast("bigint").alias("fp"),
     )
     return (
-        pts.crossJoin(F.broadcast(tot))
+        pts.transform(scalars(tot))
         .select(
             "k",
             "threshold",

@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import hash64, sql_hash64
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -357,7 +358,7 @@ def quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("source"))
         .alias("n_src"),
     )
-    mapped = src.crossJoin(F.broadcast(n_all)).select(
+    mapped = src.transform(scalars(n_all)).select(
         "source",
         "n_chars",
         F.floor(

@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 from ..functions.rounding import round_eps, sql_round
 from ..functions.stats import normal_sf_abs, sql_normal_sf_abs
 from ..functions.text import hash64, sql_hash64
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -122,7 +123,7 @@ def fdr_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         p0 * (1 - p0) / F.col("n")
     )
     pvals = (
-        per_nation.crossJoin(F.broadcast(tot))
+        per_nation.transform(scalars(tot))
         .withColumn("z", z)
         .withColumn("p", 2.0 * normal_sf_abs(F.col("z")))
         .select("nationkey", "n", "k", "z", "p")

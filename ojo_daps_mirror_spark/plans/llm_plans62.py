@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..operators.rank import global_order_stats
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -383,7 +384,7 @@ def ctfidf_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tf.join(F.broadcast(class_tot), "label")
         .join(df, "tok")
-        .crossJoin(F.broadcast(avg_class))
+        .transform(scalars(avg_class))
         .select(
             "label",
             "tok",

@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import hash64, sql_hash64
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -89,7 +90,7 @@ def hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("vol", F.lit(0.5)).alias("med"),
         F.avg("vol").alias("mn"),
     )
-    return stats.crossJoin(F.broadcast(plain)).select(
+    return stats.transform(scalars(plain)).select(
         "n_weeks",
         "n_pairs",
         round_eps(F.col("hl"), 6).alias("hl_estimate"),
@@ -183,7 +184,7 @@ def xcorr_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = joined.select("i", F.col("o_vol").alias("x"))
     b = joined.select(F.col("i").alias("j"), F.col("e_vol").alias("y"))
     lagged = (
-        a.crossJoin(F.broadcast(lags))
+        a.transform(scalars(lags))
         .join(b, F.col("j") == F.col("i") + F.col("lag"))
         .select("lag", "x", "y")
     )

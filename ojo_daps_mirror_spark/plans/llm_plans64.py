@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import hash64, sql_hash64
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -69,7 +70,7 @@ def relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = orders.groupBy("o_custkey").agg(
         F.countDistinct("o_orderpriority").cast("bigint").alias("n_prio")
     )
-    flagged = per_cust.crossJoin(F.broadcast(n_prio)).select(
+    flagged = per_cust.transform(scalars(n_prio)).select(
         "o_custkey",
         F.when(F.col("n_prio") == F.col("n_all"), 1).otherwise(0).alias(
             "complete"

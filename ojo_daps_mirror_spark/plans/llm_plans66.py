@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -221,7 +222,7 @@ def hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.avg(F.abs(F.col("hk") - F.col("hkb"))),
             4,
         ).alias("locality_ratio"),
-    ).crossJoin(F.broadcast(n_cells)).select(
+    ).transform(scalars(n_cells)).select(
         "n_cells",
         "n_neighbor_pairs",
         "avg_morton_gap",
@@ -307,9 +308,7 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = ranked.persist()
     bset = (
         spark.range(1, RP_BUCKETS)
-        .crossJoin(
-            F.broadcast(ranked.agg(F.max("n").alias("nn")))
-        )
+        .transform(scalars(ranked.agg(F.max("n").alias("nn"))))
         .select(
             F.ceil(F.col("id") * F.col("nn") * 1.0 / RP_BUCKETS)
             .cast("bigint")
@@ -320,7 +319,7 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.join(F.broadcast(bset), F.col("rn") == F.col("rk"))
         .agg(F.array_sort(F.collect_list("cents")).alias("bnds"))
     )
-    bucketed = ranked.crossJoin(F.broadcast(bounds)).select(
+    bucketed = ranked.transform(scalars(bounds)).select(
         "cents",
         "n",
         F.size(F.filter(F.col("bnds"), lambda x: x <= F.col("cents"))).alias(

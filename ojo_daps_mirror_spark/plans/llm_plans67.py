@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import hash64, sql_hash64
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -327,7 +328,7 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold to the top-quartile trade volumes to expose topology.
     thr = allpairs.agg(F.percentile("cnt", F.lit(0.75)).alias("q"))
     edges = (
-        allpairs.crossJoin(F.broadcast(thr))
+        allpairs.transform(scalars(thr))
         .where(F.col("cnt") >= F.col("q"))
         .select("a", "b")
     )

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import sql_hash64, hash64
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 from .llm_plans57 import CAL_BINS
@@ -292,7 +293,7 @@ def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("agree"),
     )
-    return tot.crossJoin(F.broadcast(pe)).select(
+    return tot.transform(scalars(pe)).select(
         F.col("n").alias("n_docs"),
         "agree",
         round_eps(F.col("agree") * 1.0 / F.col("n"), 6).alias("accuracy"),

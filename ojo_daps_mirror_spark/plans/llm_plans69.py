@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import hash64, sql_hash64
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -88,7 +89,7 @@ def top_with_other_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = rev.agg(F.sum("cents").cast("bigint").alias("t"))
     return (
-        ranked.crossJoin(F.broadcast(tot))
+        ranked.transform(scalars(tot))
         .groupBy(
             F.when(F.col("rk") <= TOP_N_BRANDS, F.col("brand"))
             .otherwise("Other")
@@ -195,7 +196,7 @@ def kfold_cv_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.col("n") * mu * mu
     ) / F.col("n")
     return (
-        per_fold.crossJoin(F.broadcast(tot))
+        per_fold.transform(scalars(tot))
         .select(
             "fold",
             F.col("n").alias("n_test"),

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -119,7 +120,7 @@ def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("psxy"), F.col("psyy"),
     )
     return (
-        per_seg.crossJoin(F.broadcast(pooled))
+        per_seg.transform(scalars(pooled))
         .select(
             "seg",
             F.col("n").cast("bigint").alias("n"),

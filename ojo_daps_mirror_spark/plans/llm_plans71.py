@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -88,7 +89,7 @@ def journey_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = rows_.agg(F.sum("r").cast("bigint").alias("t"))
-    return row_h.crossJoin(F.broadcast(tot)).agg(
+    return row_h.transform(scalars(tot)).agg(
         F.max("t").cast("bigint").alias("n_transitions"),
         round_eps(
             F.sum(F.col("r") * F.col("h")) / F.max("t"), 6
@@ -290,7 +291,7 @@ def rank_overlap_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("int").alias("d")
     )
     depths = (
-        sources.crossJoin(F.broadcast(depths_dim))
+        sources.transform(scalars(depths_dim))
         .join(F.broadcast(common), "source", "left")
         .groupBy("source", "d")
         .agg(

@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..operators.dedup import connected_components
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 from .text_plans import _C5_ORACLE, dedup_minhash_lsh
@@ -195,10 +196,10 @@ def ql_dirichlet_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qdim = spark.createDataFrame([(t,) for t in QL_QUERY], "tok: string")
     grid = (
-        doclen.crossJoin(F.broadcast(qdim))
+        doclen.transform(scalars(qdim))
         .join(F.broadcast(cf), "tok")
         .join(tf, ["doc_id", "tok"], "left")
-        .crossJoin(F.broadcast(corpus))
+        .transform(scalars(corpus))
         .select(
             "doc_id",
             "dl",

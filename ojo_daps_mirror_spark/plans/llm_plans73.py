@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import shingles, sql_shingles, sql_tokens, tokens
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 from .llm_plans37 import _B72_ORACLE, kaplan_meier_retention
@@ -104,7 +105,7 @@ def theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_g").cast("bigint").alias("n"),
         F.sum("s_g").cast("bigint").alias("s"),
     )
-    j = per_g.crossJoin(F.broadcast(tot))
+    j = per_g.transform(scalars(tot))
     mu = F.col("s") * 1.0 / F.col("n")
     mu_g = F.col("s_g") * 1.0 / F.col("n_g")
     share = F.col("s_g") * 1.0 / F.col("s")
@@ -193,7 +194,7 @@ def rmst_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return segs.agg(
         F.coalesce(F.sum("seg"), F.lit(0.0)).alias("tail")
-    ).crossJoin(F.broadcast(head)).select(
+    ).transform(scalars(head)).select(
         F.lit(RMST_HORIZON).cast("bigint").alias("horizon_days"),
         round_eps(F.col("h") + F.col("tail"), 6).alias("rmst_days"),
     )
@@ -325,7 +326,7 @@ def weighted_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     weighted = (
         pair_shingles.join(sdf, "s")
-        .crossJoin(F.broadcast(n_docs))
+        .transform(scalars(n_docs))
         .groupBy("i", "j")
         .agg(
             F.sum(

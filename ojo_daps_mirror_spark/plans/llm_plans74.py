@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -127,7 +128,7 @@ def kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, ties, s2 = F.col("n"), F.col("ties"), F.col("s2")
     h = 12.0 / (n * (n + 1.0)) * s2 - 3.0 * (n + 1)
     return (
-        tot.join(F.broadcast(ties_frame))
+        tot.transform(scalars(ties_frame))
         .select(
             "k",
             "n",

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -300,7 +301,7 @@ def lang_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_docs_conflicted"),
     )
     tot = fp.agg(F.count(F.lit(1)).cast("bigint").alias("total_docs"))
-    return agg.crossJoin(F.broadcast(tot)).select(
+    return agg.transform(scalars(tot)).select(
         "n_groups",
         "n_docs_conflicted",
         "total_docs",

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -279,8 +280,8 @@ def kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = F.col("nn")
     n0 = nn * (nn - 1.0) / 2
     return (
-        marg.crossJoin(F.broadcast(tx))
-        .crossJoin(F.broadcast(ty))
+        marg.transform(scalars(tx))
+        .transform(scalars(ty))
         .select(
             nn.alias("n_rows"),
             F.col("conc").alias("concordant"),

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -76,7 +77,7 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day").alias("lo"), F.max("day").alias("hi")
     )
     types = events.select("event_type").distinct()
-    calendar = types.join(F.broadcast(bounds)).select(
+    calendar = types.transform(scalars(bounds)).select(
         "event_type",
         F.explode(F.sequence("lo", "hi")).alias("day"),
     )

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -313,7 +314,7 @@ def little_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_avg = F.col("sum_days") * 1.0 / F.col("n_shipped")
     l_imp = lam * w_avg
     l_meas = F.col("occupancy") * 1.0 / LL_WIN_DAYS
-    return shipped.join(F.broadcast(occ)).select(
+    return shipped.transform(scalars(occ)).select(
         "n_shipped",
         round_eps(lam, 6).alias("lambda_per_day"),
         round_eps(w_avg, 6).alias("w_avg_days"),

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -112,7 +113,7 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nn = weekly.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    stats = pairs.join(F.broadcast(ties)).join(F.broadcast(nn))
+    stats = pairs.transform(scalars(ties)).transform(scalars(nn))
     n, s = F.col("n"), F.col("s")
     var_s = (n * (n - 1.0) * (2 * n + 5) - F.col("tie_term")) / 18.0
     z = (

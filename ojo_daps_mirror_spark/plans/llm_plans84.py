@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -412,7 +413,7 @@ def holdout_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         ev.join(tr_bg, ["w1", "w2"], "left")
         .join(tr_ug, "w1", "left")
-        .join(F.broadcast(vocab))
+        .transform(scalars(vocab))
         .select(
             "source",
             "cnt",

@@ -19,6 +19,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import hash64, sql_hash64
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -251,7 +252,7 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = hashes.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
     est = (F.col("k") - 1.0) * KMV_HASH_MAX / F.col("h_k")
     return (
-        grid.join(F.broadcast(exact))
+        grid.transform(scalars(exact))
         .select(
             F.col("k").cast("bigint").alias("k"),
             "n_exact",

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -154,7 +155,7 @@ def friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("tie_term") / ((n * 1.0) * k * (k * 1.0 * k - 1))
     )
     return (
-        red.join(F.broadcast(ties))
+        red.transform(scalars(ties))
         .select(
             "k",
             n.alias("n_blocks"),

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -137,7 +138,7 @@ def spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     xbar = F.col("s") * 1.0 / SPC_N
     flags = (
-        sub.join(F.broadcast(lim))
+        sub.transform(scalars(lim))
         .groupBy(
             "n_weeks", "xbb", "rbar", "uclx", "lclx", "uclr", "lclr"
         )
@@ -298,7 +299,7 @@ def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.col("sq2") * 1.0 / F.col("n_weeks") - mean_q * mean_q)
         / mean_q
     )
-    classed = abc.join(F.broadcast(nw)).select(
+    classed = abc.transform(scalars(nw)).select(
         F.when(F.col("cum_share") <= ABC_A, "A")
         .when(F.col("cum_share") <= ABC_B, "B")
         .otherwise("C")

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -105,7 +106,7 @@ def tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         a.join(F.broadcast(b), F.col("g1") < F.col("g2"))
-        .join(F.broadcast(pooled))
+        .transform(scalars(pooled))
         .select(
             "g1",
             "g2",

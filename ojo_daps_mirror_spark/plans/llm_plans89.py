@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -235,7 +236,7 @@ def kupiec_pof_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = (
         diffs.where(F.year("d") >= KUPIEC_SPLIT)
-        .join(F.broadcast(var_t))
+        .transform(scalars(var_t))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_eval"),
             F.sum(

@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import sql_tokens, tokens
 from ..functions.vectors import sql_cosine
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 from .llm_plans8 import _C52_ORACLE
@@ -197,7 +198,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(len(HYBRID_TERMS))
         ]
     )
-    kw = hits.join(F.broadcast(df_counts)).select(
+    kw = hits.transform(scalars(df_counts)).select(
         "doc_id",
         sum(
             F.col(f"tf_{i}")
@@ -212,7 +213,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vec = (
         emb.where(F.col("vec_id") != HYBRID_QUERY_DOC)
-        .join(F.broadcast(qv))
+        .transform(scalars(qv))
         .select(
             F.col("vec_id").alias("doc_id"),
             (

@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import shingles, sql_shingles, sql_tokens, tokens
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 from .text_plans import (
@@ -248,7 +249,7 @@ def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         chi2 = F.col("n") * (F.col("s") - 1.0)
         outs.append(
-            red.join(F.broadcast(card)).select(
+            red.transform(scalars(card)).select(
                 F.lit(a).alias("col_a"),
                 F.lit(b).alias("col_b"),
                 F.col("r").alias("card_a"),

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -152,7 +153,7 @@ def kendall_w_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
         12.0 * F.col("s2") - 3.0 * m * m * n * (n + 1.0) * (n + 1.0)
     ) / ((m * 1.0) * m * n * ((n * 1.0) * n - 1) - m * F.col("tt"))
     return (
-        red.join(F.broadcast(ties))
+        red.transform(scalars(ties))
         .select(
             n.alias("n_brands"),
             m.alias("n_years"),

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -176,7 +177,7 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("c_acctbal").alias("avg_bal")
     )
     return (
-        customer.crossJoin(F.broadcast(thr))
+        customer.transform(scalars(thr))
         .where(F.col("c_acctbal") > F.col("avg_bal"))
         .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment")

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -198,7 +199,7 @@ def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("val") * VALUE_FRACTION).alias("threshold")
     )
     return (
-        part_value.join(F.broadcast(total))
+        part_value.transform(scalars(total))
         .where(F.col("val") > F.col("threshold"))
         .select(
             F.col("l_partkey").alias("p_partkey"),

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -384,7 +385,7 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("target"),
     ).distinct()
     return (
-        contrib.join(F.broadcast(bounds))
+        contrib.transform(scalars(bounds))
         .where(F.col("target").between(F.col("lo"), F.col("hi")))
         .groupBy("target")
         .agg(F.count(F.lit(1)).alias("rolling_users"))

@@ -14,6 +14,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps
 from ..operators.snapshot import oracle_weekly_stock_sql, weekly_stock
+from ..operators.attach import scalars
 from ..sources import load_table
 from . import register
 
@@ -260,7 +261,7 @@ def remove_frequent_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("n_mentions", F.lit(FORM_PERCENTILE)).alias("n_threshold")
     )
     return (
-        lexicon.crossJoin(F.broadcast(thresh))
+        lexicon.transform(scalars(thresh))
         .select(
             "surface_form",
             "surface_form_type",

@@ -54,126 +54,45 @@ ARROW_OK = {
 # BroadcastNestedLoopJoin: broadcast scalar / tiny-dim attaches with
 # range or true predicates, plus the declared brute-force ANN baseline.
 BNLJ_OK = {
+    # After round 3's attach_scalars conversion (92 broadcast
+    # crossJoins now plan as BroadcastHashJoin), every remaining
+    # BNLJ is a CONDITIONED broadcast join (range/substring/banded
+    # predicates on dimension frames) or a declared exact all-pairs
+    # baseline. Additions must be argued here.
+    "acf_weekly_volume",  # banded self-join of the |weeks| dim (range cond)
     "ann_topk_bruteforce",  # exact all-pairs baseline BY DESIGN
-    "theil_decomposition",  # broadcast 1-row totals attach to |groups| rows
-    "rmst_summary",  # broadcast 1-row head-segment attach to 1-row tail
-    "weighted_jaccard_dedup",  # broadcast 1-row corpus-size attach
-    "kruskal_wallis",  # broadcast 1-row tie-correction attach to 1-row stats
-    "lang_label_noise",  # broadcast 1-row corpus-total attach to 1-row stats
-    "dormant_rich_customers",  # broadcast scalar avg-balance threshold
-    "important_part_value",  # broadcast scalar share threshold
+    "bm25_ranking",  # broadcast 1-row corpus-stats attach
+    "bootstrap_ci_mean",  # broadcast 1-row CI-quantile attach
+    "chain_ladder",  # broadcast <=6-row dev-factor dim, range condition
+    "exact_median_two_pass",  # 2-row order-statistic positions × |buckets| hist
+    "hilbert_key",  # 4-adjacency self-join of the bounded (≤4096) cell dim
+    "hodges_lehmann",  # banded |weeks|-dim self-join (wa<=wb) + 1-row attach
+    "hoeffdings_d",  # |weeks|-dim all-pairs concordance scan
+    "hubness_audit",  # exact k-occurrence needs the true top-k graph
+    "incremental_stock_refresh",  # same fill_and_index broadcast index attach
+    "intrinsic_dim_mle",  # declared all-pairs eval harness (C8's contract)
+    "kmeans_lloyd",  # broadcast K-row codebook attach per Lloyd round
+    "lexical_semantic_agreement",  # declared all-pairs eval harness (C8's contract)
+    "mann_kendall_trend",  # banded |weeks|-dim self-join + 1-row attaches
+    "max_consensus_line",  # |weeks|-dim candidate x point residual grid
+    "minhash_jaccard_vs_exact",  # |sources|-dim pair grid (est vs exact)
+    "ndcg_eval",  # declared all-pairs eval harness (C8's contract)
     "near_dup_adaptive",  # broadcast window dim, range condition
     "near_dup_windowed",  # broadcast window dim, range condition
-    "remove_frequent_forms",  # broadcast scalar p95 threshold
+    "neardup_transitivity_audit",  # exact threshold edge set
+    "onebit_retrieval_agreement",  # exact cosine + Hamming top-k twins
+    "pacf_durbin_levinson",  # banded |weeks|-dim self-join (acf's shape)
+    "retrieval_mrr",  # declared all-pairs eval harness (C8's contract)
+    "sen_slope_ci",  # |weeks|-dim all-pairs slope grid + rank-CI pick
+    "siegel_repeated_medians",  # |weeks|-dim all-pairs slope grid
     "soc_substring_match",  # broadcast lexicon, substring predicate
-    "tfidf_top_terms",  # broadcast scalar doc count
-    "timeseries_gap_fill",  # broadcast 2-scalar calendar bounds
+    "theil_sen_trend",  # broadcast 1-row slope frame onto the |weeks| dim
+    "tukey_hsd",  # 5-row group-dim self-join (10 pairs) + 1-row MSW attach
+    "vocab_overlap_matrix",  # |sources|-dim pair grid zero-fill
     "weekly_locs_vacancies",  # broadcast Monday index frame
     "weekly_soc_vacancies",  # broadcast Monday index frame
     "weekly_stock",  # broadcast Monday index frame
-    "incremental_stock_refresh",  # same fill_and_index broadcast index attach
     "weekly_stock_by_region",  # broadcast Monday index frame
-    "incremental_minhash_dedup",  # broadcast pair frame in verify
-    "dedup_minhash_lsh",  # broadcast pair frame in verify
-    "ngram_jaccard",  # broadcast pair frame in verify
-    "user_behavior_similarity",  # broadcast pair frame in verify
-    "hybrid_search_rrf",  # broadcast 1-row df-count + query-vector attaches
-    "rolling_distinct_users",  # broadcast 1-row calendar-bounds attach
-    "rfm_features",  # broadcast 1-row horizon-scalar attach
-    "item_cooccurrence",  # broadcast 1-row |orders|-scalar attach
-    "chars_equidepth_histogram",  # broadcast 1-row percentile-cuts attach
-    "kneser_ney_bigram",  # broadcast 1-row |bigram types|-scalar attach
-    "sequence_mining_2seq",  # broadcast 1-row |users|-scalar attach
-    "cuped_adjusted_ab",  # broadcast 1-row theta/xbar-scalar attach
-    "lift_table",  # broadcast 1-row total-conversions attach
-    "ccnet_perplexity_buckets",  # broadcast 1-row LM-total + tercile-cuts attaches
-    "kmeans_lloyd",  # broadcast K-row codebook attach per Lloyd round
-    "bootstrap_ci_mean",  # broadcast 1-row CI-quantile attach
-    "bm25_ranking",  # broadcast 1-row corpus-stats attach
-    "theil_sen_trend",  # broadcast 1-row slope frame onto the |weeks| dim
-    "acf_weekly_volume",  # banded self-join of the |weeks| dim (range cond)
-    "exact_median_two_pass",  # 2-row order-statistic positions × |buckets| hist
-    "centroid_silhouette",  # broadcast |labels|-row centroid table attach
-    "seasonal_anomaly_flags",  # broadcast 1-row residual-stats attach
-    "source_kl_divergence",  # broadcast 1-row corpus-total/vocab attach
-    "markov_attribution",  # broadcast variant-literal + 1-row base-prob attach
-    "cohort_ltv_curve",  # broadcast 1-row horizon-scalar attach
-    "join_cardinality_probe",  # broadcast 1-row actual-count audit attach
-    "mmr_diverse_topk",  # broadcast 1-row query-vector attach
-    "negative_sampling_table",  # broadcast 1-row weight-total attach
-    "ndcg_eval",  # declared all-pairs eval harness (C8's contract)
-    "backfill_plan",  # broadcast 1-row p25-threshold attach
-    "abc_classification",  # broadcast 1-row revenue-total attach
-    "index_shard_plan",  # broadcast 1-row point-total attach
-    "calibration_reliability",  # broadcast 1-row Brier-total attach
-    "sequence_mining_3seq",  # broadcast 1-row user-total attach
-    "psi_drift",  # broadcast base-histogram + 1-row corpus-total attaches
-    "roc_auc_points",  # broadcast 1-row rank-sum-totals attach
-    "quantile_normalization",  # broadcast 1-row global-N attach
-    "fdr_bh_correction",  # broadcast 1-row global-proportion attach
-    "ctfidf_cluster_terms",  # broadcast 1-row avg-class-size attach
-    "hodges_lehmann",  # banded |weeks|-dim self-join (wa<=wb) + 1-row attach
-    "xcorr_lead_lag",  # broadcast 9-row lag-dim attach onto the |days| frame
-    "relational_division",  # broadcast 1-row divisor-count attach
-    "hilbert_key",  # 4-adjacency self-join of the bounded (≤4096) cell dim
-    "range_partition_plan",  # broadcast 1-row boundary-array attach
-    "degree_assortativity",  # broadcast 1-row edge-threshold attach
-    "cohens_kappa",  # broadcast 1-row expected-agreement attach
-    "top_with_other_rollup",  # broadcast 1-row revenue-total attach
-    "kfold_cv_variance",  # broadcast 1-row global-sufficient-stats attach
-    "simpson_paradox_audit",  # broadcast 1-row pooled-sufficient-stats attach
-    "journey_entropy_rate",  # broadcast 1-row transition-total attach
-    "rank_overlap_rbo",  # broadcast 10-row depth-grid attach per source
-    "ql_dirichlet_ranking",  # broadcast 3-row query-dim + 1-row corpus attach
-    "little_law_audit",  # broadcast 1-row occupancy-integral attach to 1-row stats
-    "kendall_tau_b",  # broadcast 1-row tie-term attaches to 1-row stats
-    "mann_kendall_trend",  # banded |weeks|-dim self-join + 1-row attaches
-    "holdout_bigram_ppl",  # broadcast 1-row vocab-size attach (bm25's pattern)
-    "kmv_distinct_sketch",  # broadcast 1-row exact-count audit attach to 3 rows
-    "friedman_test",  # broadcast 1-row tie-term attach to 1-row stats
-    "spc_control_chart",  # broadcast 1-row control-limits attach to |weeks|
-    "abc_xyz_matrix",  # broadcast 1-row week-span scalar attach to |parts|
-    "tukey_hsd",  # 5-row group-dim self-join (10 pairs) + 1-row MSW attach
-    "kupiec_pof_test",  # broadcast 1-row train-VaR attach onto the eval frame
-    "cramers_v_matrix",  # broadcast 1-row cardinality attach per pair (3 rows)
-    "lsh_candidate_precision",  # broadcast pair frame in verify (C5's shape)
-    "split_leakage_audit",  # composes C5's verify (broadcast pair frame)
-    "lexical_semantic_agreement",  # declared all-pairs eval harness (C8's contract)
-    "kendall_w_concordance",  # broadcast 1-row tie-term attach to 1-row stats
-    "chain_ladder",  # broadcast <=6-row dev-factor dim, range condition
-    "dup_cluster_lang_purity",  # composes C5's verify (broadcast pair frame)
-    "exemplar_quality_bias",  # composes C5's verify (broadcast pair frame)
-    "retrieval_mrr",  # declared all-pairs eval harness (C8's contract)
-    "meta_fixed_effect",  # broadcast 1-row pooled-effect attach for Q
-    "ab_power_planning",  # |lifts|-row grid built from a 1-row baseline
-    "burrows_delta",  # |sources| x |terms| zero-fill dimension cross
-    "jelinek_mercer_em_step",  # broadcast 1-row totals + EM-stats attaches
-    "char_ngram_langid",  # broadcast |langs|-dim + 1-row vocab attaches
-    "acceptance_sampling_oc",  # |plans|x|rates| grid built from a 1-row base
-    "near_dup_source_matrix",  # composes C5's verify (broadcast pair frame)
-    "intrinsic_dim_mle",  # declared all-pairs eval harness (C8's contract)
-    "dedup_method_agreement",  # composes C5's verify (broadcast pair frame)
-    "dedup_mixture_shift",  # composes C5's verify (broadcast pair frame)
-    # --- bounded pair expansions, argued individually (round 3) ---
-    # |weeks|-dim all-pairs / banded self-joins: the frame entering the
-    # join is the weekly aggregate (|weeks| ~ 1e2-1e3 at any corpus
-    # size — time, not data, bounds it), same family as the allowlisted
-    # hodges_lehmann / theil_sen_trend / mann_kendall_trend.
-    "sen_slope_ci",  # |weeks|-dim all-pairs slope grid + rank-CI pick
-    "siegel_repeated_medians",  # |weeks|-dim all-pairs slope grid
-    "hoeffdings_d",  # |weeks|-dim all-pairs concordance scan
-    "pacf_durbin_levinson",  # banded |weeks|-dim self-join (acf's shape)
-    "max_consensus_line",  # |weeks|-dim candidate x point residual grid
-    # |sources|-dim pair grids: the join is over the distinct-source
-    # frame (single digits of rows), same family as burrows_delta.
-    "vocab_overlap_matrix",  # |sources|-dim pair grid zero-fill
-    "minhash_jaccard_vs_exact",  # |sources|-dim pair grid (est vs exact)
-    # Declared exact all-pairs baselines over the embeddings table,
-    # same contract as ann_topk_bruteforce (C8): the quadratic scan IS
-    # the audited ground truth; the scale path is the bucketed C9/C15.
-    "hubness_audit",  # exact k-occurrence needs the true top-k graph
-    "neardup_transitivity_audit",  # exact threshold edge set
-    "onebit_retrieval_agreement",  # exact cosine + Hamming top-k twins
 }
 
 BATCH_KEYS = sorted(k for k in plans.QUERIES if not k.startswith("streaming"))
@@ -216,3 +135,165 @@ def test_bnlj_only_where_designed(all_plans):
     ]
     unexpected = set(offenders) - BNLJ_OK
     assert not unexpected, sorted(unexpected)
+
+
+# Unpartitioned (global-order) windows: every entry below was audited —
+# the frame entering the window is DIMENSION-scale (a |weeks|/|days|/
+# |cells|/value-ladder/stat-cell aggregate, a top-k survivor frame from
+# orderBy+limit, or a bounded grid), never the raw fact/corpus rows.
+# Values are the audited COUNT of such windows per op: a plan change
+# that adds one fails the sweep and must be argued here, and an op
+# ranking a data-grain frame belongs on operators/rank.py
+# (global_order_stats / attach_prev / ntile_from_rank), not here.
+# Regenerate with scripts/window_sweep.py.
+DIMENSION_SCALE_WINDOWS = {
+    "abc_classification": 1,
+    "abc_xyz_matrix": 3,
+    "anderson_darling": 1,
+    "backfill_plan": 1,
+    "background_cosine_null": 4,
+    "background_jaccard_null": 4,
+    "batch_means_ci": 2,
+    "bca_bootstrap_ci": 1,
+    "benford_profile": 1,
+    "bradley_terry_brands": 2,
+    "bullwhip_ratio": 2,
+    "burrows_delta": 1,
+    "char_ngram_langid": 1,
+    "chi_square_independence": 2,
+    "competing_risks_cif": 4,
+    "consensus_partition_select": 1,
+    "cramer_von_mises": 1,
+    "cramers_v_matrix": 1,
+    "cucconi_test": 1,
+    "curriculum_interleave": 1,
+    "cusum_changepoints": 2,
+    "dedup_mixture_shift": 1,
+    "delta_encoding_audit": 2,
+    "dhondt_shard_allocation": 2,
+    "diebold_mariano": 1,
+    "dsir_importance": 1,
+    "durbin_watson": 2,
+    "eb_shrinkage_rates": 3,
+    "engle_granger_coint": 3,
+    "ewma_weekly_volume": 1,
+    "exact_median_two_pass": 1,
+    "expected_shortfall": 3,
+    "fdr_bh_correction": 3,
+    "fligner_killeen": 2,
+    "g_test_independence": 1,
+    "generalized_esd": 2,
+    "getis_ord_hotspots": 1,
+    "growth_accounting": 1,
+    "grubbs_test": 2,
+    "hill_tail_index": 1,
+    "holm_bonferroni": 3,
+    "holt_linear_smoothing": 1,
+    "holt_winters_daily": 1,
+    "hurst_rs": 2,
+    "hybrid_search_rrf": 2,
+    "importance_weight_ess": 1,
+    "inclan_tiao_variance_break": 4,
+    "incremental_stock_refresh": 1,
+    "jackknife_cluster_se": 1,
+    "jonckheere_terpstra": 1,
+    "kaplan_meier_retention": 4,
+    "km_greenwood_ci": 5,
+    "kmeans_lloyd": 1,
+    "kmv_distinct_sketch": 1,
+    "kpss_stationarity": 2,
+    "kruskal_wallis": 2,
+    "ks_test_two_sample": 2,
+    "kupiec_pof_test": 3,
+    "lift_table": 2,
+    "linear_trend_forecast": 1,
+    "little_law_audit": 1,
+    "ljung_box_q": 2,
+    "logrank_test": 3,
+    "lorenz_deciles": 2,
+    "mann_whitney_u": 1,
+    "markov_attribution": 1,
+    "max_consensus_line": 3,
+    "mean_residual_life": 1,
+    "memorization_risk_audit": 1,
+    "mood_median_test": 2,
+    "mutual_information_features": 2,
+    "near_dup_source_matrix": 1,
+    "negative_sampling_table": 1,
+    "nelson_aalen_hazard": 4,
+    "neyman_allocation": 1,
+    "oov_rate_by_source": 1,
+    "otsu_length_threshold": 2,
+    "pacf_durbin_levinson": 1,
+    "panel_fe_elasticity": 1,
+    "pareto_frontier": 1,
+    "pareto_knee_point": 3,
+    "period_over_period": 1,
+    "periodogram_peaks": 3,
+    "pettitt_test": 4,
+    "piecewise_trend_break": 5,
+    "poly_curvature_ftest": 1,
+    "post_stratified_mean": 1,
+    "ppcc_normality": 2,
+    "qini_uplift_curve": 1,
+    "ql_dirichlet_ranking": 1,
+    "quantile_normalization": 1,
+    "range_partition_plan": 2,
+    "rerank_stub": 2,
+    "rfm_features": 3,
+    "rmst_summary": 5,
+    "roc_auc_points": 2,
+    "rolling_beta": 1,
+    "rolling_origin_backtest": 3,
+    "runs_test": 2,
+    "seasonal_anomaly_flags": 1,
+    "seasonal_decompose": 1,
+    "seasonal_strength_dow": 3,
+    "sen_slope_ci": 3,
+    "session_path_analysis": 1,
+    "shapley_attribution": 1,
+    "siegel_repeated_medians": 1,
+    "skills_by_soc_snapshot": 1,
+    "skills_surface_forms": 1,
+    "source_concentration": 4,
+    "spearman_rho": 3,
+    "spectral_entropy": 2,
+    "split_leakage_audit": 1,
+    "sprt_sequential_test": 2,
+    "suffix_lcp_boilerplate": 1,
+    "t_closeness_audit": 2,
+    "tail_dependence": 3,
+    "temperature_mixing": 1,
+    "threshold_sensitivity_audit": 1,
+    "time_decayed_popularity": 1,
+    "token_budget_waterfill": 1,
+    "token_position_profile": 1,
+    "top_revenue_supplier": 1,
+    "top_with_other_rollup": 1,
+    "training_mixture_manifest": 1,
+    "tukey_nonadditivity": 1,
+    "turning_point_test": 2,
+    "variance_ratio_test": 2,
+    "vocab_coverage_curve": 1,
+    "vocab_encode": 1,
+    "wasserstein_1d": 2,
+    "weekly_stock": 1,
+    "weighted_reservoir_sample": 1,
+    "xcorr_lead_lag": 1,
+    "zipf_mandelbrot_grid": 2,
+    "zipf_slope_fit": 1,
+}
+
+
+def test_unpartitioned_windows_only_on_dimension_frames(all_plans):
+    from ojo_daps_mirror_spark.planaudit import unpartitioned_windows
+
+    bad = {}
+    for k, p in all_plans.items():
+        c = unpartitioned_windows(p)
+        if c > DIMENSION_SCALE_WINDOWS.get(k, 0):
+            bad[k] = (c, DIMENSION_SCALE_WINDOWS.get(k, 0))
+    assert not bad, (
+        "unpartitioned Window over an unaudited frame (count > allowed): "
+        f"{sorted(bad.items())}"
+    )
