@@ -307,6 +307,13 @@ BENCH_KEYS: list[str] = [
     "source_js_divergence_matrix",
     "doc_repetition_profile",
     "mattr_lexical_diversity",
+    # round 3: the range-partitioned rank/lag family + consensus step 3
+    "suffix_lcp_boilerplate",
+    "blocking_quality_eval",
+    "peak_concurrency",
+    "lorenz_deciles",
+    "quintile_migration_matrix",
+    "consensus_partition_select",
 ]
 
 

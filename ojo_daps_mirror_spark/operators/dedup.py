@@ -20,6 +20,7 @@ even at full scale.
 
 from __future__ import annotations
 
+from .lineage import cut_lineage
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -80,7 +81,7 @@ def connected_components(
         # Materialised once: the loop joins this every iteration, and
         # without it the entire upstream edge pipeline (e.g. a full
         # minhash-LSH pass) re-executes per round.
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     # The loop only carries edge-incident vertices: isolated vertices are
     # their own component and can never change, so keeping them in the
@@ -105,7 +106,7 @@ def connected_components(
                     F.col("component_id"), F.coalesce("nbr_label", "component_id")
                 ).alias("component_id"),
             )
-            .localCheckpoint(eager=True)  # cut lineage; loop plan stays flat
+            .transform(cut_lineage)  # cut lineage; loop plan stays flat
         )
         changed = (
             new_labels.alias("n")

@@ -12,6 +12,7 @@ routinely needs (authority scores for sources, seller centrality).
 
 from __future__ import annotations
 
+from .lineage import cut_lineage
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -53,7 +54,7 @@ def pagerank(
     """
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
-    ).localCheckpoint(eager=True)  # edge pipeline runs ONCE, not per derivation
+    ).transform(cut_lineage)  # edge pipeline runs ONCE, not per derivation
     # Loop partitioning is sized to EDGE VOLUME (~128 MB of edge rows per
     # partition), not the global shuffle setting: the loop state is tiny
     # next to a fact-table shuffle, and 10 rounds × oversized stages is
@@ -67,7 +68,7 @@ def pagerank(
         e.join(out, "src")
         .select("src", "dst", (F.col("w") / F.col("wout")).alias("p"))
         .repartition(n_part, "src")
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     has_out = trans.select("src").distinct()
     nodes = (
@@ -77,7 +78,7 @@ def pagerank(
         .join(has_out, F.col("id") == F.col("src"), "left")
         .select("id", F.col("src").isNull().alias("dangling"))
         .repartition(n_part, "id")
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     n = nodes.count()
 
@@ -106,7 +107,7 @@ def pagerank(
                     * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / n)
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     return ranks.select("id", "rank")
 
@@ -147,16 +148,16 @@ def label_propagation(
 
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     n_edges = e.count()
     n_part = max(1, min((n_edges + 2_499_999) // 2_500_000, 200_000))
-    e = e.repartition(n_part, "src").localCheckpoint(eager=True)
+    e = e.repartition(n_part, "src").transform(cut_lineage)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
         .repartition(n_part, "id")
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
 
     labels = nodes.withColumn("lbl", F.col("id"))
@@ -180,7 +181,7 @@ def label_propagation(
         labels = (
             nodes.join(best, "id", "left")
             .select("id", F.coalesce("new_lbl", "id").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     return labels.select("id", F.col("lbl").alias("community"))
 
@@ -214,15 +215,15 @@ def hits(
     """
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     n_edges = e.count()
     n_part = max(1, min((n_edges + 2_499_999) // 2_500_000, 200_000))
-    e = e.repartition(n_part, "src").localCheckpoint(eager=True)
+    e = e.repartition(n_part, "src").transform(cut_lineage)
     hubs = (
         e.select(F.col("src").alias("id"))
         .distinct()
         .repartition(n_part, "id")
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     n_hubs = hubs.count()
     h = hubs.withColumn("score", F.lit(1.0 / n_hubs))
@@ -238,7 +239,7 @@ def hits(
         a = (
             a_raw.crossJoin(F.broadcast(a_tot))
             .select("id", (F.col("raw") / F.col("tot")).alias("score"))
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         h_raw = (
             e.join(a, e.dst == a.id)
@@ -250,7 +251,7 @@ def hits(
         h = (
             h_raw.crossJoin(F.broadcast(h_tot))
             .select("id", (F.col("raw") / F.col("tot")).alias("score"))
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     return h.select("id", F.lit("hub").alias("kind"), "score").unionByName(
         a.select("id", F.lit("authority").alias("kind"), "score")

@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 
 from ..functions.text import sql_tokens, tokens
 from ..operators.graph import LPA_ITERS, label_propagation
+from ..operators.lineage import cut_lineage
 from ..sources import load_table
 from . import register
 from .enrich_plans import MIN_FORM_LEN, STOPWORDS
@@ -291,10 +292,10 @@ def skill_communities_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.dedup import connected_components
 
-    edges = skill_cooc_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = skill_cooc_edges(spark, sf_dir).transform(cut_lineage)
     nodes = (
         edges.select(F.col("src").alias("id")).distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
 
     co = None
@@ -448,14 +449,14 @@ def consensus_partition_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import round_eps
     from ..operators.attach import attach_scalars
 
-    edges = skill_cooc_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = skill_cooc_edges(spark, sf_dir).transform(cut_lineage)
     nodes = edges.select(F.col("src").alias("id")).distinct()
     nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
 
     members = [
         label_propagation(edges, salt=salt)
         .select("id", F.col("community").alias(f"lbl{k}"))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
         for k, salt in enumerate(CONSENSUS_SALTS)
     ]
 

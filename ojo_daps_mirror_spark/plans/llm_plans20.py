@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import hash64, sql_hash64
+from ..operators.lineage import cut_lineage
 from ..sources import load_table
 from . import register
 
@@ -83,7 +84,7 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
         .union(pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     for _ in range(KCORE_ROUNDS):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -92,7 +93,7 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(keep, "src", "left_semi")
             .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
             .select("src", "dst")
-            .localCheckpoint()
+            .transform(cut_lineage)
         )
     return (
         edges.groupBy(F.col("src").alias("node"))

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.lineage import cut_lineage
 from ..sources import load_table
 from . import register
 from .graph_plans import trade_edges
@@ -218,7 +219,7 @@ def bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .withColumn("level", F.lit(0).cast("int"))
         )
-        visited = seeds.localCheckpoint(eager=True)
+        visited = seeds.transform(cut_lineage)
         frontier = visited
         for hop in range(1, BFS_MAX_HOPS + 1):
             nxt = (
@@ -227,10 +228,10 @@ def bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .distinct()
                 .join(visited.select("node"), "node", "left_anti")
                 .withColumn("level", F.lit(hop).cast("int"))
-                .localCheckpoint(eager=True)
+                .transform(cut_lineage)
             )
             visited = visited.unionByName(nxt)
             frontier = nxt
-        return visited.localCheckpoint(eager=True)
+        return visited.transform(cut_lineage)
     finally:
         edges.unpersist()

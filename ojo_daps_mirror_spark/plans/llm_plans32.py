@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import sql_tokens, tokens
+from ..operators.lineage import cut_lineage
 from ..sources import load_table
 from . import register
 
@@ -134,7 +135,7 @@ def bpe_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seq",
             F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
         )
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     rules = []
     for it in range(1, BPE_MERGES + 1):
@@ -160,7 +161,7 @@ def bpe_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.size("seq") < 2, F.col("seq")).otherwise(
                 _spark_merge_fold(F.col("seq"), top["x"], top["y"])
             ),
-        ).localCheckpoint(eager=True)
+        ).transform(cut_lineage)
     return spark.createDataFrame(
         rules, "iter int, left_sym string, right_sym string, pair_count bigint"
     )

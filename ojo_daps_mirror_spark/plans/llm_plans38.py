@@ -13,6 +13,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import hash64, sql_hash64, sql_tokens, tokens
+from ..operators.lineage import cut_lineage
 from ..sources import load_table
 from . import register
 from .llm_plans32 import (
@@ -103,7 +104,7 @@ def bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
             ),
         )
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     for _ in range(BPE_MERGES):
         pair_struct = F.expr(
@@ -125,7 +126,7 @@ def bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.size("seq") < 2, F.col("seq")).otherwise(
                 _spark_merge_fold(F.col("seq"), top["x"], top["y"])
             ),
-        ).localCheckpoint(eager=True)
+        ).transform(cut_lineage)
     vocab = words.select(
         "word",
         F.size("seq").cast("bigint").alias("n_sym"),

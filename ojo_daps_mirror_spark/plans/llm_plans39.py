@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
+from ..operators.lineage import cut_lineage
 from ..sources import load_table
 from . import register
 
@@ -86,7 +87,7 @@ def recursive_nation_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     # joins the view per iteration step, and an unmaterialised view
     # re-executes the 4-way fact join each time (4× the scan work at
     # depth 3). The checkpointed 25²-row frame makes recursion free.
-    edges.localCheckpoint(eager=True).createOrReplaceTempView("trade_edges")
+    edges.transform(cut_lineage).createOrReplaceTempView("trade_edges")
     return spark.sql(_B78_RECURSIVE)
 
 

@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import hash64, sql_hash64
 from ..operators.attach import scalars
+from ..operators.lineage import cut_lineage
 from ..sources import load_table
 from . import register
 
@@ -265,7 +266,7 @@ def sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w")
         )
     )
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(cut_lineage)
     dist = spark.createDataFrame(
         [(SSSP_SRC, 0)], "node: bigint, dist: bigint"
     )
@@ -280,7 +281,7 @@ def sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.min("dist").cast("bigint").alias("dist"))
         )
-        dist = relaxed.localCheckpoint(eager=True)
+        dist = relaxed.transform(cut_lineage)
     return dist.orderBy("node")
 
 

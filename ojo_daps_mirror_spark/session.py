@@ -35,4 +35,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Reliable checkpointing for iterative operators: on a cluster,
+    # point this at HDFS/S3 and operators/lineage.py's cut_lineage
+    # switches from executor-local blocks to fault-tolerant files.
+    ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt:
+        spark.sparkContext.setCheckpointDir(ckpt)
+    return spark
