@@ -314,6 +314,7 @@ BENCH_KEYS: list[str] = [
     "lorenz_deciles",
     "quintile_migration_matrix",
     "consensus_partition_select",
+    "dedup_substring_spans",
 ]
 
 

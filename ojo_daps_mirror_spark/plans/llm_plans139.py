@@ -1,0 +1,219 @@
+"""Hundred-thirty-ninth sweep (SURVEY.md §2 C226).
+
+Exact-substring dedup spans (Lee et al. 2022, 'Deduplicating Training
+Data Makes Language Models Better', ExactSubstr): per document, the
+merged character ranges whose content occurs elsewhere in the corpus
+(including elsewhere in the same document) — the byte-range removal
+decision that sits between document-level dedup (A10/C5) and the
+span-naming audit (C207 suffix_lcp_boilerplate, which reports the top
+offending strings; this op prices and localises EVERY document's
+duplicated mass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.rank import attach_prev
+from ..sources import load_table
+from . import register
+
+# ---------------------------------------------------------------- C226
+
+ESD_CAP = 48  # suffix window: span detection exact up to this length
+ESD_MIN = 24  # minimum duplicated run worth excising
+
+_IVT = "array<struct<s:bigint,e:bigint>>"
+
+_C226_ORACLE = f"""
+WITH sufs AS (
+  SELECT doc_id, p, len(text) AS n, substr(text, p, {ESD_CAP}) AS suf
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, len(text))) AS p)
+),
+ordered AS (
+  SELECT doc_id, p, n, suf,
+         lag(doc_id) OVER w AS pd, lag(p) OVER w AS pp,
+         lag(n) OVER w AS pn, lag(suf) OVER w AS ps
+  FROM sufs WINDOW w AS (ORDER BY suf, doc_id, p)
+),
+pairs AS (
+  SELECT doc_id, p, n, pd, pp, pn,
+         len(list_filter(generate_series(1, {ESD_CAP}),
+             L -> substr(suf, 1, L) = substr(ps, 1, L))) AS lcp
+  FROM ordered WHERE ps IS NOT NULL
+),
+contrib AS (
+  SELECT doc_id, p, n, lcp FROM pairs
+  UNION ALL
+  SELECT pd AS doc_id, pp AS p, pn AS n, lcp FROM pairs
+),
+dups AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS s,
+         CAST(p + LEAST(MAX(lcp), n - p + 1) AS BIGINT) AS e
+  FROM contrib GROUP BY doc_id, p, n
+  HAVING LEAST(MAX(lcp), n - p + 1) >= {ESD_MIN}
+),
+merged AS (
+  SELECT doc_id,
+         list_reduce(
+           list_transform(list_sort(list({{'s': s, 'e': e}})), i -> [i]),
+           (a, b) -> CASE WHEN b[1].s <= a[-1].e
+             THEN list_slice(a, 1, len(a) - 1)
+                  || [{{'s': a[-1].s, 'e': greatest(a[-1].e, b[1].e)}}]
+             ELSE a || b END
+         ) AS miv
+  FROM dups GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.text) AS BIGINT) AS n_chars,
+       CAST(COALESCE(len(miv), 0) AS BIGINT) AS dup_spans,
+       CAST(COALESCE(list_sum(list_transform(miv, x -> x.e - x.s)), 0)
+            AS BIGINT) AS dup_chars,
+       CAST(len(d.text)
+            - COALESCE(list_sum(list_transform(miv, x -> x.e - x.s)), 0)
+            AS BIGINT) AS clean_chars,
+       COALESCE(array_to_string(list_transform(miv,
+                x -> x.s::VARCHAR || '-' || x.e::VARCHAR), ';'), '')
+         AS spans
+FROM documents d LEFT JOIN merged USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@register("dedup_substring_spans", oracle=_C226_ORACLE)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup spans (Lee et al. 2022): for every document,
+    the merged char ranges [s, e) whose content also occurs elsewhere
+    in the corpus for >= {ESD_MIN} chars — the removal decision an
+    LLM-corpus pipeline applies before training (the excision itself
+    is then a trivial per-doc substring map over `spans`). Detection
+    is the suffix-sort adjacency trick: in suffix order, a suffix's
+    longest match with ANY other suffix is the max of its two
+    neighbour LCPs, so one sharded sort prices every position with no
+    pairwise comparison; runs longer than the {ESD_CAP}-char window
+    are recovered exactly by the per-document interval merge of
+    overlapping per-position windows.
+
+    Exactness: positions, clamped LCPs (min(lcp, chars remaining) —
+    equal SHORT suffixes saturate the window probe, so the clamp is
+    what keeps spans inside the document) and interval merges are
+    pure integer set algebra, identical in both engines; `spans`
+    serialises the merged intervals canonically.
+
+    Scale shape: |corpus chars| capped-suffix rows through ONE
+    range-partitioned sort (operators/rank.py attach_prev: pid-local
+    lag + one boundary row per shard), map-side LCPs, a (doc, pos)
+    aggregate, and a doc-grain interval fold — no all-pairs join, no
+    single-reducer stage, no driver state.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sufs = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n"),
+        F.explode(F.expr("sequence(1, length(text))")).alias("p"),
+        "text",
+    ).select(
+        "doc_id",
+        "n",
+        F.col("p").cast("bigint").alias("p"),
+        F.expr(f"substring(text, p, {ESD_CAP})").alias("suf"),
+    )
+    ordered = attach_prev(
+        sufs,
+        ["suf", "doc_id", "p"],
+        {"pd": "doc_id", "pp": "p", "pn": "n", "ps": "suf"},
+    )
+    pairs = ordered.where(F.col("ps").isNotNull()).select(
+        "doc_id",
+        "p",
+        "n",
+        "pd",
+        "pp",
+        "pn",
+        F.expr(
+            f"size(filter(sequence(1, {ESD_CAP}),"
+            " L -> substring(suf, 1, L) = substring(ps, 1, L)))"
+        ).cast("bigint").alias("lcp"),
+    )
+    contrib = pairs.select("doc_id", "p", "n", "lcp").unionByName(
+        pairs.select(
+            F.col("pd").alias("doc_id"),
+            F.col("pp").alias("p"),
+            F.col("pn").alias("n"),
+            "lcp",
+        )
+    )
+    true_len = F.least(F.max("lcp"), F.col("n") - F.col("p") + 1)
+    dups = (
+        contrib.groupBy("doc_id", "p", "n")
+        .agg(true_len.alias("dl"))
+        .where(F.col("dl") >= ESD_MIN)
+        .select(
+            "doc_id",
+            F.col("p").alias("s"),
+            (F.col("p") + F.col("dl")).cast("bigint").alias("e"),
+        )
+    )
+    last = F.element_at(F.col("acc"), -1)
+    merged = (
+        dups.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "e"))).alias("iv"))
+        .select(
+            "doc_id",
+            F.aggregate(
+                "iv",
+                F.expr(f"CAST(array() AS {_IVT})"),
+                lambda acc, x: F.when(F.size(acc) == 0, F.array(x)).otherwise(
+                    F.when(
+                        x["s"] <= F.element_at(acc, -1)["e"],
+                        F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1),
+                            F.array(
+                                F.struct(
+                                    F.element_at(acc, -1)["s"].alias("s"),
+                                    F.greatest(
+                                        F.element_at(acc, -1)["e"], x["e"]
+                                    ).alias("e"),
+                                )
+                            ),
+                        ),
+                    ).otherwise(F.concat(acc, F.array(x)))
+                ),
+            ).alias("miv"),
+        )
+    )
+    dup_chars = F.aggregate(
+        "miv", F.lit(0).cast("bigint"), lambda a, x: a + (x["e"] - x["s"])
+    )
+    return (
+        docs.join(merged, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.length("text").cast("bigint").alias("n_chars"),
+            F.coalesce(F.size("miv"), F.lit(0)).cast("bigint").alias(
+                "dup_spans"
+            ),
+            F.coalesce(dup_chars, F.lit(0)).cast("bigint").alias("dup_chars"),
+            (
+                F.length("text").cast("bigint")
+                - F.coalesce(dup_chars, F.lit(0))
+            ).cast("bigint").alias("clean_chars"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        "miv",
+                        lambda x: F.concat(
+                            x["s"].cast("string"),
+                            F.lit("-"),
+                            x["e"].cast("string"),
+                        ),
+                    ),
+                    ";",
+                ),
+                F.lit(""),
+            ).alias("spans"),
+        )
+        .orderBy("doc_id")
+    )
