@@ -26,7 +26,7 @@ ESD_MIN = 24  # minimum duplicated run worth excising
 
 _IVT = "array<struct<s:bigint,e:bigint>>"
 
-_C226_ORACLE = f"""
+_SPAN_CTES = f"""
 WITH sufs AS (
   SELECT doc_id, p, len(text) AS n, substr(text, p, {ESD_CAP}) AS suf
   FROM documents,
@@ -66,6 +66,9 @@ merged AS (
          ) AS miv
   FROM dups GROUP BY doc_id
 )
+"""
+
+_C226_ORACLE = f"""{_SPAN_CTES}
 SELECT d.doc_id,
        CAST(len(d.text) AS BIGINT) AS n_chars,
        CAST(COALESCE(len(miv), 0) AS BIGINT) AS dup_spans,
@@ -82,32 +85,9 @@ ORDER BY d.doc_id
 """
 
 
-@register("dedup_substring_spans", oracle=_C226_ORACLE)
-def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ExactSubstr dedup spans (Lee et al. 2022): for every document,
-    the merged char ranges [s, e) whose content also occurs elsewhere
-    in the corpus for >= {ESD_MIN} chars — the removal decision an
-    LLM-corpus pipeline applies before training (the excision itself
-    is then a trivial per-doc substring map over `spans`). Detection
-    is the suffix-sort adjacency trick: in suffix order, a suffix's
-    longest match with ANY other suffix is the max of its two
-    neighbour LCPs, so one sharded sort prices every position with no
-    pairwise comparison; runs longer than the {ESD_CAP}-char window
-    are recovered exactly by the per-document interval merge of
-    overlapping per-position windows.
-
-    Exactness: positions, clamped LCPs (min(lcp, chars remaining) —
-    equal SHORT suffixes saturate the window probe, so the clamp is
-    what keeps spans inside the document) and interval merges are
-    pure integer set algebra, identical in both engines; `spans`
-    serialises the merged intervals canonically.
-
-    Scale shape: |corpus chars| capped-suffix rows through ONE
-    range-partitioned sort (operators/rank.py attach_prev: pid-local
-    lag + one boundary row per shard), map-side LCPs, a (doc, pos)
-    aggregate, and a doc-grain interval fold — no all-pairs join, no
-    single-reducer stage, no driver state.
-    """
+def _merged_spans(spark: SparkSession, sf_dir: str):
+    """(docs, merged-intervals) — the shared ExactSubstr detection
+    pipeline behind C226 (span report) and C227 (text excision)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sufs = docs.select(
         "doc_id",
@@ -156,7 +136,6 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p") + F.col("dl")).cast("bigint").alias("e"),
         )
     )
-    last = F.element_at(F.col("acc"), -1)
     merged = (
         dups.groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("s", "e"))).alias("iv"))
@@ -184,6 +163,36 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("miv"),
         )
     )
+    return docs, merged
+
+
+@register("dedup_substring_spans", oracle=_C226_ORACLE)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup spans (Lee et al. 2022): for every document,
+    the merged char ranges [s, e) whose content also occurs elsewhere
+    in the corpus for >= {ESD_MIN} chars — the removal decision an
+    LLM-corpus pipeline applies before training (the excision itself
+    is then a trivial per-doc substring map over `spans`). Detection
+    is the suffix-sort adjacency trick: in suffix order, a suffix's
+    longest match with ANY other suffix is the max of its two
+    neighbour LCPs, so one sharded sort prices every position with no
+    pairwise comparison; runs longer than the {ESD_CAP}-char window
+    are recovered exactly by the per-document interval merge of
+    overlapping per-position windows.
+
+    Exactness: positions, clamped LCPs (min(lcp, chars remaining) —
+    equal SHORT suffixes saturate the window probe, so the clamp is
+    what keeps spans inside the document) and interval merges are
+    pure integer set algebra, identical in both engines; `spans`
+    serialises the merged intervals canonically.
+
+    Scale shape: |corpus chars| capped-suffix rows through ONE
+    range-partitioned sort (operators/rank.py attach_prev: pid-local
+    lag + one boundary row per shard), map-side LCPs, a (doc, pos)
+    aggregate, and a doc-grain interval fold — no all-pairs join, no
+    single-reducer stage, no driver state.
+    """
+    docs, merged = _merged_spans(spark, sf_dir)
     dup_chars = F.aggregate(
         "miv", F.lit(0).cast("bigint"), lambda a, x: a + (x["e"] - x["s"])
     )
@@ -214,6 +223,101 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 F.lit(""),
             ).alias("spans"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------- C227
+
+_C227_ORACLE = f"""{_SPAN_CTES},
+clean AS (
+  SELECT d.doc_id,
+         CAST(len(d.text) AS BIGINT) AS n_chars,
+         CASE WHEN miv IS NULL THEN d.text
+              -- kept text = the gaps between merged intervals plus the
+              -- tail. Built with an INDEXED transform, not list_reduce:
+              -- DuckDB 1.0 mis-binds outer-column references inside a
+              -- reduce lambda (the accumulator cursor reads corrupt),
+              -- while plain transforms bind correctly.
+              ELSE array_to_string(
+                     list_transform(
+                       generate_series(1, len(miv)),
+                       k -> substr(d.text,
+                                   CASE WHEN k = 1 THEN 1
+                                        ELSE miv[k - 1].e END,
+                                   miv[k].s
+                                   - CASE WHEN k = 1 THEN 1
+                                          ELSE miv[k - 1].e END)
+                     ), '')
+                   || substr(d.text, miv[-1].e,
+                             len(d.text) - miv[-1].e + 1)
+         END AS clean_text
+  FROM documents d LEFT JOIN merged USING (doc_id)
+)
+SELECT doc_id, n_chars,
+       CAST(len(clean_text) AS BIGINT) AS clean_chars,
+       CAST(n_chars - len(clean_text) AS BIGINT) AS removed_chars,
+       clean_text
+FROM clean ORDER BY doc_id
+"""
+
+
+@register("dedup_substring_excise", oracle=_C227_ORACLE)
+def dedup_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr APPLIED: the cleaned corpus after excising C226's
+    merged duplicated spans — the actual training-data output of the
+    Lee et al. pipeline, not just the decision. The surgery is one
+    per-document fold over the merged intervals (cursor + kept-text
+    accumulator built from dynamic substrings), so documents without
+    duplicated spans pass through byte-identical.
+
+    Exactness: the fold consumes C226's exact integer intervals and
+    concatenates the complementary substrings — both engines build the
+    identical string; removed_chars equals C226's dup_chars by
+    construction (asserted cross-op in tests).
+
+    Scale shape: C226's detection cost (one range-partitioned suffix
+    sort) plus a doc-grain join and a map-side fold whose state is one
+    cursor and the kept text — nothing new shuffles.
+    """
+    docs, merged = _merged_spans(spark, sf_dir)
+    text = F.col("text")
+    miv = F.col("miv")
+    prev_e = lambda i: F.when(i == 0, F.lit(1).cast("bigint")).otherwise(
+        F.element_at(miv, i)["e"]
+    )
+    gaps = F.array_join(
+        F.transform(
+            miv,
+            lambda x, i: text.substr(prev_e(i), x["s"] - prev_e(i)),
+        ),
+        "",
+    )
+    tail_start = F.element_at(miv, -1)["e"]
+    cleaned = F.concat(
+        gaps,
+        text.substr(
+            tail_start, F.length(text).cast("bigint") - tail_start + 1
+        ),
+    )
+    return (
+        docs.join(merged, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.length(text).cast("bigint").alias("n_chars"),
+            F.when(miv.isNull(), text).otherwise(cleaned).alias(
+                "clean_text"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.length("clean_text").cast("bigint").alias("clean_chars"),
+            (F.col("n_chars") - F.length("clean_text"))
+            .cast("bigint")
+            .alias("removed_chars"),
+            "clean_text",
         )
         .orderBy("doc_id")
     )
