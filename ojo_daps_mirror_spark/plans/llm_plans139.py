@@ -230,7 +230,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- C227
 
-_C227_ORACLE = f"""{_SPAN_CTES},
+_CLEAN_CTE = f"""
 clean AS (
   SELECT d.doc_id,
          CAST(len(d.text) AS BIGINT) AS n_chars,
@@ -255,6 +255,9 @@ clean AS (
          END AS clean_text
   FROM documents d LEFT JOIN merged USING (doc_id)
 )
+"""
+
+_C227_ORACLE = f"""{_SPAN_CTES},{_CLEAN_CTE}
 SELECT doc_id, n_chars,
        CAST(len(clean_text) AS BIGINT) AS clean_chars,
        CAST(n_chars - len(clean_text) AS BIGINT) AS removed_chars,
@@ -320,4 +323,119 @@ def dedup_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clean_text",
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------- C228
+
+_C228_ORACLE = f"""{_SPAN_CTES},{_CLEAN_CTE},
+keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+tok AS (
+  SELECT d.source,
+         CAST(len(list_filter(__RAWTOK__, t -> t <> '')) AS BIGINT)
+           AS raw_tk,
+         CASE WHEN k.doc_id IS NOT NULL
+              THEN CAST(len(list_filter(__RAWTOK__, t -> t <> '')) AS BIGINT)
+              ELSE 0 END AS kept_tk,
+         CAST(len(list_filter(__CLEANTOK__, t -> t <> '')) AS BIGINT)
+           AS clean_tk
+  FROM documents d
+  JOIN clean c USING (doc_id)
+  LEFT JOIN keepers k USING (doc_id)
+)
+SELECT source,
+       CAST(SUM(raw_tk) AS BIGINT) AS raw_tokens,
+       CAST(SUM(kept_tk) AS BIGINT) AS doc_dedup_tokens,
+       CAST(SUM(clean_tk) AS BIGINT) AS span_dedup_tokens,
+       __YIELD1__ AS doc_dedup_yield_pct,
+       __YIELD2__ AS span_dedup_yield_pct
+FROM tok GROUP BY source ORDER BY source
+"""
+
+
+def _c228_oracle() -> str:
+    from ..functions.rounding import sql_round
+    from ..functions.text import sql_tokens
+
+    return (
+        _C228_ORACLE
+        .replace("__RAWTOK__", sql_tokens("d.text"))
+        .replace("__CLEANTOK__", sql_tokens("c.clean_text"))
+        .replace(
+            "__YIELD1__",
+            sql_round("SUM(kept_tk) * 100.0 / SUM(raw_tk)", 4),
+        )
+        .replace(
+            "__YIELD2__",
+            sql_round("SUM(clean_tk) * 100.0 / SUM(raw_tk)", 4),
+        )
+    )
+
+
+@register("token_yield_waterfall", oracle=_c228_oracle())
+def token_yield_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-training-token accounting per source: raw tokens, the
+    tokens surviving exact document dedup (A10's min-id exemplar
+    rule), and the tokens surviving ExactSubstr span excision (C227's
+    cleaned text) — the data-yield waterfall a corpus owner reads
+    before quoting 'we have N tokens'. dup_span_fraction (C24) prices
+    hashed-shingle mass; this prices the EXACT pipelines' yield, per
+    source, in actual tokens.
+
+    Exactness: both dedup decisions are exact (md5 groups; C226's
+    integer spans); token counts are integers; yields round at 4dp
+    from identical integer ratios.
+
+    Scale shape: C226's one suffix sort plus a doc-grain md5 groupBy
+    and two map-side tokenizations — the aggregate is |sources| rows.
+    """
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    clean = dedup_substring_excise(spark, sf_dir).select(
+        "doc_id", "clean_text"
+    )
+    keepers = (
+        docs.groupBy(F.md5("text"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(1).alias("kept"))
+    )
+
+    def ntok(col):
+        return F.size(F.filter(tokens(col), lambda t: t != "")).cast(
+            "bigint"
+        )
+
+    tok = (
+        docs.join(clean, "doc_id")
+        .join(keepers, "doc_id", "left")
+        .select(
+            "source",
+            ntok(F.col("text")).alias("raw_tk"),
+            F.when(F.col("kept").isNotNull(), ntok(F.col("text")))
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("kept_tk"),
+            ntok(F.col("clean_text")).alias("clean_tk"),
+        )
+    )
+    from ..functions.rounding import round_eps
+
+    return (
+        tok.groupBy("source")
+        .agg(
+            F.sum("raw_tk").cast("bigint").alias("raw_tokens"),
+            F.sum("kept_tk").cast("bigint").alias("doc_dedup_tokens"),
+            F.sum("clean_tk").cast("bigint").alias("span_dedup_tokens"),
+            round_eps(
+                F.sum("kept_tk") * 100.0 / F.sum("raw_tk"), 4
+            ).alias("doc_dedup_yield_pct"),
+            round_eps(
+                F.sum("clean_tk") * 100.0 / F.sum("raw_tk"), 4
+            ).alias("span_dedup_yield_pct"),
+        )
+        .orderBy("source")
     )
