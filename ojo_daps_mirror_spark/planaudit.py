@@ -10,12 +10,22 @@ policy and scripts/window_sweep.py for the regeneration sweep.
 
 from __future__ import annotations
 
+import ast
 import re
 
 _EXPR_ID = re.compile(r"#\d+L?")
 
 WINDOW_BLOCK = re.compile(
     r"\(\d+\) (Window|WindowGroupLimit)\n(?:[A-Z][^\n]*\n)*?Arguments: ([^\n]*)"
+)
+
+# Order spec that is EXACTLY the rank operator's partition-id column —
+# the |shuffle partitions|-row offsets/carry frames of operators/rank.py.
+# Deliberately not a substring test: a data-grain window over a frame
+# that merely CARRIES the pid column must still be flagged.
+_PID_ONLY_ORDER = re.compile(
+    r"^\[\s*__rank_pid__#\d+L?"
+    r"(\s+(ASC|DESC))?(\s+NULLS\s+(FIRST|LAST))?\s*\]$"
 )
 
 
@@ -43,12 +53,16 @@ def unpartitioned_windows(plan: str) -> int:
     seen_unordered: set[str] = set()
     for m in WINDOW_BLOCK.finditer(plan):
         kind, args = m.group(1), m.group(2)
-        if "__rank_pid__" in args:
-            # operators/rank.py's per-partition offsets window: its
-            # input is the |shuffle partitions|-row count frame, a
+        groups = _top_level_groups(args)
+        if (
+            len(groups) == 2
+            and _PID_ONLY_ORDER.match(groups[1])
+        ):
+            # operators/rank.py's per-partition offsets/carry window:
+            # ordered by exactly __rank_pid__, so its input is the
+            # |shuffle partitions|-row per-partition aggregate — a
             # bounded dimension by construction.
             continue
-        groups = _top_level_groups(args)
         if kind == "WindowGroupLimit":
             # shape: [partitionSpec], [orderSpec], fn, k, mode — the
             # rank<=k pushdown: per-partition top-k map-side, final
@@ -79,5 +93,86 @@ def unpartitioned_windows(plan: str) -> int:
         for w in windows
         if not any(ln in w for ln in limited_norm)
     )
+
+
+def _is_mod_zero_compare(node: ast.AST) -> bool:
+    """``<expr> % <expr> == 0`` (or ``0 == <expr> % <expr>``) — the
+    fixed-FRACTION subset predicate."""
+    if not isinstance(node, ast.Compare) or len(node.ops) != 1:
+        return False
+    if not isinstance(node.ops[0], ast.Eq):
+        return False
+    left, right = node.left, node.comparators[0]
+    for a, b in ((left, right), (right, left)):
+        if (
+            isinstance(a, ast.BinOp)
+            and isinstance(a.op, ast.Mod)
+            and isinstance(b, ast.Constant)
+            and b.value == 0
+        ):
+            return True
+    return False
+
+
+def _chain_flags(
+    expr: ast.AST, env: dict[str, ast.AST], seen: set[str]
+) -> tuple[bool, bool]:
+    """Walk a DataFrame method chain (following simple same-function
+    assignments) and report (has % CONST == 0 filter, has .limit(k))."""
+    has_mod = has_limit = False
+    node = expr
+    while True:
+        if isinstance(node, ast.Call) and isinstance(node.func, ast.Attribute):
+            name = node.func.attr
+            if name == "limit":
+                has_limit = True
+            if name in ("where", "filter"):
+                for arg in node.args:
+                    if any(_is_mod_zero_compare(n) for n in ast.walk(arg)):
+                        has_mod = True
+            node = node.func.value
+        elif isinstance(node, ast.Attribute):
+            node = node.value
+        elif isinstance(node, ast.Name):
+            if node.id in env and node.id not in seen:
+                seen.add(node.id)
+                m, l = _chain_flags(env[node.id], env, seen)
+                has_mod, has_limit = has_mod or m, has_limit or l
+            break
+        else:
+            break
+    return has_mod, has_limit
+
+
+def fraction_collects(source: str) -> list[int]:
+    """Line numbers of ``.collect()`` / ``.toPandas()`` calls whose
+    receiver chain contains a ``% <CONST> == 0`` subset filter with no
+    intervening ``.limit(k)`` cap — a fixed FRACTION of the input
+    shipped to the driver, i.e. an O(n) driver OOM at 100 TB (the
+    knn_label_eval r3 regression class). Driver-bound panels must go
+    through a fixed-count cap (vector_plans.query_panel)."""
+    tree = ast.parse(source)
+    hits: list[int] = []
+    for fn in ast.walk(tree):
+        if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        env: dict[str, ast.AST] = {}
+        collects: list[ast.Call] = []
+        for node in ast.walk(fn):
+            if isinstance(node, ast.Assign) and len(node.targets) == 1:
+                t = node.targets[0]
+                if isinstance(t, ast.Name):
+                    env[t.id] = node.value
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in ("collect", "toPandas")
+            ):
+                collects.append(node)
+        for call in collects:
+            has_mod, has_limit = _chain_flags(call.func.value, env, set())
+            if has_mod and not has_limit:
+                hits.append(call.lineno)
+    return sorted(hits)
 
 

@@ -159,12 +159,14 @@ def benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- C68
 
-EVAL_MOD = 5  # vec_id % 5 == 0 → the held-out query subset
+EVAL_MOD = 5  # spread the panel across the id space
 EVAL_K = 5
+EVAL_PANEL_K = 64  # FIXED query-panel size: the driver collect is O(k)
 
 _C68_ORACLE = f"""
 WITH v AS (SELECT vec_id, embedding, label FROM embeddings),
-q AS (SELECT * FROM v WHERE vec_id % {EVAL_MOD} = 0),
+q AS (SELECT * FROM v WHERE vec_id % {EVAL_MOD} = 0
+      ORDER BY vec_id LIMIT {EVAL_PANEL_K}),
 scored AS (
   SELECT q.vec_id AS query_id, q.label AS true_label, v.label AS nlabel,
          {sql_cosine('q.embedding', 'v.embedding')} AS cos, v.vec_id AS nid
@@ -200,15 +202,18 @@ GROUP BY true_label ORDER BY label
 
 @register("knn_label_eval", oracle=_C68_ORACLE)
 def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN-classifier evaluation harness: hold out vec_id % {EVAL_MOD}
-    as queries, predict each query's label by majority vote of its
-    {EVAL_K} nearest neighbours (cosine, deterministic tie-breaks:
-    neighbour rank by (−cos, id), vote by (−count, label)), and report
-    per-class accuracy — the quality gate run before trusting an
-    embedding space for retrieval or dedup.
+    """kNN-classifier evaluation harness: hold out a FIXED-COUNT query
+    panel (the first {EVAL_PANEL_K} of the vec_id % {EVAL_MOD} ids —
+    vector_plans.query_panel), predict each query's label by majority
+    vote of its {EVAL_K} nearest neighbours (cosine, deterministic
+    tie-breaks: neighbour rank by (−cos, id), vote by (−count, label)),
+    and report per-class accuracy — the quality gate run before
+    trusting an embedding space for retrieval or dedup.
 
-    Neighbour search reuses the C53 streaming shape: the query matrix
-    broadcasts, the corpus STREAMS through one mapInPandas BLAS pass
+    Neighbour search reuses the C53 streaming shape: the O(k) query
+    matrix broadcasts (NEVER a fixed fraction of the corpus — a
+    mod-only panel collects O(n) rows to the driver and OOMs at
+    100 TB), the corpus STREAMS through one mapInPandas BLAS pass
     emitting per-batch top-k, a global window merges — no all-pairs
     join. Votes then run at (query, label) grain (≤ k rows per query)
     and the final accuracy table is |labels| rows.
@@ -216,12 +221,12 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from .vector_plans import query_panel
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
     )
-    queries = emb.where(F.col("vec_id") % EVAL_MOD == 0).select(
-        "vec_id", "e", "label"
-    ).collect()
+    queries = query_panel(emb, EVAL_MOD, k=EVAL_PANEL_K).collect()
     q_ids = np.array([r["vec_id"] for r in queries])
     Q = np.stack([r["e"] for r in queries]).astype(np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)

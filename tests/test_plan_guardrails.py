@@ -297,3 +297,78 @@ def test_unpartitioned_windows_only_on_dimension_frames(all_plans):
         "unpartitioned Window over an unaudited frame (count > allowed): "
         f"{sorted(bad.items())}"
     )
+
+
+def test_rank_pid_exemption_is_order_spec_exact():
+    # the exemption must NOT fire for a window that merely CARRIES the
+    # pid column (e.g. a data-grain window added between tagging and
+    # dropping the key) — only for one ordered by exactly the pid.
+    from ojo_daps_mirror_spark.planaudit import unpartitioned_windows
+
+    exempt = (
+        "(5) Window\nInput [2]: [__rank_pid__#6L, g#1L]\n"
+        "Arguments: [sum(g#1L) windowspecdefinition(__rank_pid__#6L ASC "
+        "NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(),"
+        " -1)) AS off#7L], [__rank_pid__#6L ASC NULLS FIRST]\n"
+    )
+    carried = (
+        "(5) Window\nInput [2]: [__rank_pid__#6L, ts#1L]\n"
+        "Arguments: [lag(__rank_pid__#6L, 1, null) windowspecdefinition("
+        "ts#1L ASC NULLS FIRST, specifiedwindowframe(RowFrame, -1, -1)) "
+        "AS prev#7L], [ts#1L ASC NULLS FIRST]\n"
+    )
+    assert unpartitioned_windows(exempt) == 0
+    assert unpartitioned_windows(carried) == 1
+
+
+# ------------------------------------------------------------------
+# Fixed-FRACTION driver collects (the knn_label_eval r3 regression
+# class): a `% <CONST> == 0` subset filter feeding `.collect()` /
+# `.toPandas()` without a fixed-count `.limit(k)` cap collects O(n)
+# rows to the driver at 100 TB. Driver-bound query panels must route
+# through vector_plans.query_panel (ORDER BY + LIMIT).
+
+
+def test_no_fraction_collects_in_plan_sources():
+    import pathlib
+
+    from ojo_daps_mirror_spark.planaudit import fraction_collects
+
+    plans_dir = pathlib.Path(plans.__file__).parent
+    bad = {}
+    for f in sorted(plans_dir.glob("*.py")):
+        hits = fraction_collects(f.read_text())
+        if hits:
+            bad[f.name] = hits
+    assert not bad, f"uncapped %-subset driver collects: {bad}"
+
+
+def test_fraction_collect_detector_catches_seeded_regressions():
+    from ojo_daps_mirror_spark.planaudit import fraction_collects
+
+    direct = (
+        "def f(emb):\n"
+        "    rows = emb.where(F.col('vec_id') % MOD == 0)"
+        ".select('e').collect()\n"
+        "    return rows\n"
+    )
+    via_var = (
+        "def f(emb):\n"
+        "    q = emb.filter(F.col('vec_id') % 5 == 0)\n"
+        "    pdf = q.select('e').toPandas()\n"
+        "    return pdf\n"
+    )
+    capped = (
+        "def f(emb):\n"
+        "    rows = emb.where(F.col('vec_id') % MOD == 0)"
+        ".orderBy('vec_id').limit(64).collect()\n"
+        "    return rows\n"
+    )
+    no_mod = (
+        "def f(dim):\n"
+        "    return dim.groupBy('k').count().collect()\n"
+    )
+    assert fraction_collects(direct) == [2]
+    assert fraction_collects(via_var) == [3]
+    assert fraction_collects(capped) == []
+    assert fraction_collects(no_mod) == []
