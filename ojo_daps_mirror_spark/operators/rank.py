@@ -49,6 +49,26 @@ from pyspark.sql.window import Window
 _PID = "__rank_pid__"
 
 
+def _tag_range_partitions(df: DataFrame, order_cols: Sequence[str], persist: bool) -> DataFrame:
+    """Range-partition ``df`` on ``order_cols`` and tag each row with
+    its partition id. Both consumers of the tagged frame must see the
+    SAME sampled range boundaries; that holds via ReuseExchange when
+    ``spark.sql.exchange.reuse`` is on (the default). When a caller
+    passes ``persist=True`` — or the session has reuse DISABLED, where
+    the two plan branches would re-sample boundaries independently and
+    could silently disagree — the tagged frame is materialized once
+    instead, which makes the invariant unconditional."""
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tagged = df.repartitionByRange(
+        n_part, *[F.col(c) for c in order_cols]
+    ).withColumn(_PID, F.spark_partition_id())
+    reuse = str(spark.conf.get("spark.sql.exchange.reuse", "true")).lower()
+    if persist or reuse == "false":
+        tagged = tagged.persist()
+    return tagged
+
+
 def global_order_stats(
     df: DataFrame,
     order_cols: Sequence[str],
@@ -67,12 +87,7 @@ def global_order_stats(
     instead.
     """
     cumsum = dict(cumsum or {})
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    tagged = df.repartitionByRange(
-        n_part, *[F.col(c) for c in order_cols]
-    ).withColumn(_PID, F.spark_partition_id())
-    if persist:
-        tagged = tagged.persist()
+    tagged = _tag_range_partitions(df, order_cols, persist)
     per_part = tagged.groupBy(_PID).agg(
         F.count(F.lit(1)).alias("__cnt__"),
         *[F.sum(src).alias(f"__sum_{out}__") for out, src in cumsum.items()],
@@ -130,6 +145,7 @@ def attach_prev(
     df: DataFrame,
     order_cols: Sequence[str],
     prev_map: Mapping[str, str],
+    persist: bool = False,
 ) -> DataFrame:
     """df + the LAG-1 values of chosen columns over a global total
     order (``out_col: src_col`` in ``prev_map``), with no unpartitioned
@@ -138,12 +154,15 @@ def attach_prev(
     non-empty partition's FIRST row through a |partitions|-row frame.
     The first row of the whole order gets NULL prevs, exactly like
     ``F.lag`` over a global window.
+
+    Like ``global_order_stats``, the local-lag branch and the
+    boundary-handoff branch must share one range exchange; pass
+    ``persist=True`` (or run with ``spark.sql.exchange.reuse=false``,
+    which auto-persists) to materialize the tagged frame instead of
+    relying on ReuseExchange.
     """
     prev_map = dict(prev_map)
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    tagged = df.repartitionByRange(
-        n_part, *[F.col(c) for c in order_cols]
-    ).withColumn(_PID, F.spark_partition_id())
+    tagged = _tag_range_partitions(df, order_cols, persist)
     w_loc = Window.partitionBy(_PID).orderBy(*[F.col(c) for c in order_cols])
     local = tagged.select(
         "*",

@@ -186,8 +186,14 @@ def quality_percentile_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         round_eps(F.col("stop_ratio_raw"), 6).alias("stop_ratio"),
-        ((F.col("rn_len") - 1) / (F.col("n_tot") - 1)).alias("pr_len"),
-        ((F.col("rn_stop") - 1) / (F.col("n_tot") - 1)).alias("pr_stop"),
+        # guard the 1-row corpus: (rn-1)/(n-1) is 0/0 there, while
+        # PERCENT_RANK (Spark and DuckDB alike) defines it as 0.0
+        F.when(
+            F.col("n_tot") > 1, (F.col("rn_len") - 1) / (F.col("n_tot") - 1)
+        ).otherwise(F.lit(0.0)).alias("pr_len"),
+        F.when(
+            F.col("n_tot") > 1, (F.col("rn_stop") - 1) / (F.col("n_tot") - 1)
+        ).otherwise(F.lit(0.0)).alias("pr_stop"),
     )
     return ranked.select(
         "doc_id",

@@ -35,11 +35,24 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt:
+        # Reap checkpoints whose DataFrames are garbage-collected —
+        # without this, every cut_lineage call in every iteration of a
+        # long multi-query run leaves a file behind and checkpoint
+        # storage grows without bound. (Must be set before the context
+        # exists; a no-op when the session is reused.)
+        builder = builder.config(
+            "spark.cleaner.referenceTracking.cleanCheckpoints", "true"
+        )
     spark = builder.getOrCreate()
     # Reliable checkpointing for iterative operators: on a cluster,
     # point this at HDFS/S3 and operators/lineage.py's cut_lineage
     # switches from executor-local blocks to fault-tolerant files.
-    ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
     if ckpt:
-        spark.sparkContext.setCheckpointDir(ckpt)
+        # Per-run subdirectory so a crashed run's leftovers can be
+        # swept by deleting dirs that no live application owns.
+        spark.sparkContext.setCheckpointDir(
+            f"{ckpt.rstrip('/')}/{spark.sparkContext.applicationId}"
+        )
     return spark

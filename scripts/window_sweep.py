@@ -4,7 +4,9 @@ Regenerates the offender set consumed by the allowlist in
 tests/test_plan_guardrails.py (see ojo_daps_mirror_spark/planaudit.py
 for the parser and the policy rationale). Run after plan changes:
 
-    python scripts/window_sweep.py
+    python scripts/window_sweep.py [SF_DIR]
+
+SF_DIR defaults to $SPARK_GRAFT_SF_DIR, then /root/testdata/sf0.001.
 """
 
 from __future__ import annotations
@@ -31,7 +33,11 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
-    sf = "/root/testdata/sf0.001"
+    sf = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    )
     offenders = []
     for key in sorted(plans.QUERIES):
         if key.startswith("streaming"):

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ojo_daps_mirror_spark.operators.rank import (
+    attach_prev,
     global_order_stats,
     ntile_from_rank,
 )
@@ -38,6 +39,61 @@ def test_rank_is_a_permutation_and_sorted(spark, n):
     for r in rows:
         running += r["v"]
         assert r["cum"] == running
+
+
+@pytest.mark.parametrize("n", [1, 237, 10007])
+def test_attach_prev_matches_global_lag(spark, n):
+    df = spark.range(n).select(
+        "id", (F.rand(seed=n) * 997).cast("long").alias("v")
+    )
+    mine = {
+        r["id"]: r["prev_v"]
+        for r in attach_prev(df, ["v", "id"], {"prev_v": "v"}).collect()
+    }
+    ref = {
+        r["id"]: r["prev_v"]
+        for r in df.select(
+            "id", F.lag("v").over(Window.orderBy("v", "id")).alias("prev_v")
+        ).collect()
+    }
+    assert mine == ref
+
+
+def test_rank_operators_hold_with_exchange_reuse_disabled(spark):
+    """With spark.sql.exchange.reuse=false the two plan branches no
+    longer share one materialized exchange; the operator must detect
+    the conf and persist the tagged frame so ranks/lags stay exact."""
+    prev = spark.conf.get("spark.sql.exchange.reuse", "true")
+    try:
+        spark.conf.set("spark.sql.exchange.reuse", "false")
+    except Exception:
+        pytest.skip("spark.sql.exchange.reuse not settable at runtime")
+    try:
+        n = 10007
+        df = spark.range(n).select(
+            "id", (F.rand(seed=7) * 997).cast("long").alias("v")
+        )
+        rows = (
+            global_order_stats(df, ["v", "id"], rn_col="rn")
+            .orderBy("rn")
+            .collect()
+        )
+        assert [r["rn"] for r in rows] == list(range(1, n + 1))
+        mine = {
+            r["id"]: r["prev_v"]
+            for r in attach_prev(df, ["v", "id"], {"prev_v": "v"}).collect()
+        }
+        ref = {
+            r["id"]: r["prev_v"]
+            for r in df.select(
+                "id",
+                F.lag("v").over(Window.orderBy("v", "id")).alias("prev_v"),
+            ).collect()
+        }
+        assert mine == ref
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", prev)
+        spark.catalog.clearCache()
 
 
 @pytest.mark.parametrize("n,k", [(7, 5), (11, 5), (10, 5), (3, 10), (1009, 10)])
