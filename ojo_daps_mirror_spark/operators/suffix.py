@@ -1,0 +1,94 @@
+"""Shared suffix-sort stage for the ExactSubstr family.
+
+Four queries (C207 suffix_lcp_boilerplate, C226 dedup_substring_spans,
+C227 dedup_substring_excise, C228 token_yield_waterfall) are built on
+the SAME expensive stage: explode every capped suffix of the corpus
+(|corpus chars| rows × cap bytes) and sort it once so that each
+suffix's longest match with ANY other suffix is readable from its two
+sort-neighbours (the suffix-array adjacency trick of Lee et al. 2022,
+'Deduplicating Training Data Makes Language Models Better').
+
+Re-running that sort per query is the single biggest avoidable cost in
+the family — the oracle side already factors it as shared CTEs, and
+``adjacent_suffixes`` is the Spark twin: ONE range-partitioned external
+sort (operators/rank.py attach_prev — pid-local lag windows plus a
+one-row-per-shard boundary handoff, never a single-reducer window),
+persisted per (application, sf_dir, cap) so every composing query in a
+session reads the materialized stage instead of re-sorting.
+
+Persisting is the right cluster call too: MEMORY_AND_DISK spills the
+×cap-amplified frame to local disk, and four consumers amortise one
+~×48-bytes-of-corpus sort. A pipeline that runs only ONE of the family
+pays exactly what it paid before (the cache is lazy); ``clear_cache``
+releases the blocks when a long-lived session moves on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .rank import attach_prev
+
+_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def adjacent_suffixes(spark: SparkSession, sf_dir: str, cap: int) -> DataFrame:
+    """The sorted, lag-adjacent capped-suffix frame of the documents
+    table: one row per character position with columns
+
+      doc_id, n (doc length), p (1-based position),
+      suf (the suffix capped at ``cap`` chars),
+      pd / pp / pn / ps (the SORT-PREDECESSOR's doc_id / p / n / suf;
+      NULL on the first row of the total (suf, doc_id, p) order).
+
+    Materialized once per (application, sf_dir, cap) and shared by all
+    ExactSubstr-family consumers in the session.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir, cap)
+    hit = _CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sufs = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n"),
+        F.explode(F.expr("sequence(1, length(text))")).alias("p"),
+        "text",
+    ).select(
+        "doc_id",
+        "n",
+        F.col("p").cast("bigint").alias("p"),
+        F.expr(f"substring(text, p, {cap})").alias("suf"),
+    )
+    ordered = attach_prev(
+        sufs,
+        ["suf", "doc_id", "p"],
+        {"pd": "doc_id", "pp": "p", "pn": "n", "ps": "suf"},
+    ).persist()
+    _CACHE[key] = ordered
+    return ordered
+
+
+def adjacent_lcp(cap: int, suf: str = "suf", prev: str = "ps") -> Column:
+    """LCP of a suffix with its sort-predecessor, as a zero-explode
+    array expression: prefix equality is monotone in L, so counting the
+    L in 1..cap with equal prefixes IS the LCP. Exact up to ``cap``."""
+    return F.expr(
+        f"size(filter(sequence(1, {cap}),"
+        f" L -> substring({suf}, 1, L) = substring({prev}, 1, L)))"
+    ).cast("bigint")
+
+
+def clear_cache(spark: SparkSession | None = None) -> None:
+    """Unpersist and drop cached suffix frames (all of them, or only
+    the given session's)."""
+    app = spark.sparkContext.applicationId if spark is not None else None
+    for key in list(_CACHE):
+        if app is None or key[0] == app:
+            try:
+                _CACHE[key].unpersist()
+            except Exception:  # pragma: no cover - session already gone
+                pass
+            del _CACHE[key]

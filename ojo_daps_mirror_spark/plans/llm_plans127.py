@@ -20,7 +20,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.vectors import cosine, sql_cosine
-from ..operators.rank import attach_prev
+from ..operators.suffix import adjacent_lcp, adjacent_suffixes
 from ..sources import load_table
 from . import register
 
@@ -98,31 +98,28 @@ def suffix_lcp_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-byte prefix and the lag window stays within shards except
     one boundary row per shard.
     """
-    sufs = load_table(spark, sf_dir, "documents").select(
+    # Suffix adjacency via the session-cached range-partitioned suffix
+    # sort (operators/suffix.py): pid-local lag windows plus a
+    # one-row-per-shard boundary handoff, materialised ONCE and shared
+    # with the C226/C227/C228 ExactSubstr trio — no single-reducer
+    # window or corpus-grain self-join ever runs, and composing
+    # queries don't re-sort. The richer (suf, doc_id, p) total order
+    # only permutes rows WITHIN equal-(suf, doc_id) tie blocks, which
+    # are interchangeable for every column this op reads, so the
+    # adjacency multiset — and the oracle's (suf, doc_id) window —
+    # are unchanged.
+    ordered = adjacent_suffixes(spark, sf_dir, SUF_CAP).select(
         "doc_id",
-        F.explode(F.expr("sequence(1, length(text))")).alias("p"),
-        "text",
-    ).select(
-        "doc_id",
-        F.expr(f"substring(text, p, {SUF_CAP})").alias("suf"),
-    )
-    # Suffix adjacency via the range-partitioned distributed lag —
-    # the sharded suffix sort the docstring promises: pid-local lag
-    # windows plus a one-row-per-shard boundary handoff, so the
-    # suffix frame is shuffled once and no single-reducer window or
-    # corpus-grain self-join ever runs (operators/rank.py).
-    ordered = attach_prev(
-        sufs, ["suf", "doc_id"], {"prev_doc": "doc_id", "prev_suf": "suf"}
+        "suf",
+        F.col("pd").alias("prev_doc"),
+        F.col("ps").alias("prev_suf"),
     )
     lcps = ordered.where(
         F.col("prev_suf").isNotNull() & (F.col("doc_id") != F.col("prev_doc"))
     ).select(
         "doc_id",
         "prev_doc",
-        F.expr(
-            f"size(filter(sequence(1, {SUF_CAP}),"
-            " L -> substring(suf, 1, L) = substring(prev_suf, 1, L)))"
-        ).alias("lcp"),
+        adjacent_lcp(SUF_CAP, prev="prev_suf").alias("lcp"),
         "suf",
     )
     spans = (

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.rank import attach_prev
+from ..operators.suffix import adjacent_lcp, adjacent_suffixes
 from ..sources import load_table
 from . import register
 
@@ -87,24 +87,13 @@ ORDER BY d.doc_id
 
 def _merged_spans(spark: SparkSession, sf_dir: str):
     """(docs, merged-intervals) — the shared ExactSubstr detection
-    pipeline behind C226 (span report) and C227 (text excision)."""
+    pipeline behind C226 (span report) and C227 (text excision).
+    The sorted lag-adjacent suffix frame comes from the session-cached
+    operators/suffix.py producer, so the C226/C227/C228 trio (and
+    C207's LCP reporter) materialise the |corpus chars| suffix sort
+    ONCE per session instead of once per query."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sufs = docs.select(
-        "doc_id",
-        F.length("text").cast("bigint").alias("n"),
-        F.explode(F.expr("sequence(1, length(text))")).alias("p"),
-        "text",
-    ).select(
-        "doc_id",
-        "n",
-        F.col("p").cast("bigint").alias("p"),
-        F.expr(f"substring(text, p, {ESD_CAP})").alias("suf"),
-    )
-    ordered = attach_prev(
-        sufs,
-        ["suf", "doc_id", "p"],
-        {"pd": "doc_id", "pp": "p", "pn": "n", "ps": "suf"},
-    )
+    ordered = adjacent_suffixes(spark, sf_dir, ESD_CAP)
     pairs = ordered.where(F.col("ps").isNotNull()).select(
         "doc_id",
         "p",
@@ -112,10 +101,7 @@ def _merged_spans(spark: SparkSession, sf_dir: str):
         "pd",
         "pp",
         "pn",
-        F.expr(
-            f"size(filter(sequence(1, {ESD_CAP}),"
-            " L -> substring(suf, 1, L) = substring(ps, 1, L)))"
-        ).cast("bigint").alias("lcp"),
+        adjacent_lcp(ESD_CAP).alias("lcp"),
     )
     contrib = pairs.select("doc_id", "p", "n", "lcp").unionByName(
         pairs.select(

@@ -258,3 +258,44 @@ def streaming_unconverted_clicks_q(spark: SparkSession, sf_dir: str) -> DataFram
     from ..streaming.joins import streaming_unconverted_clicks
 
     return streaming_unconverted_clicks(spark, sf_dir)
+
+
+# ---------------------------------------------------------------- C229
+
+
+def _c229_oracle() -> str:
+    from .llm_plans6 import _C47_ORACLE
+
+    return _C47_ORACLE
+
+
+@register("streaming_minhash_dedup", oracle=_c229_oracle())
+def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming twin of C47 incremental_minhash_dedup
+    (streaming/minhash.py): new documents land as a file stream, each
+    micro-batch computes band signatures map-side, broadcast-probes the
+    PERSISTED signature store, exact-Jaccard-verifies collisions only,
+    and writes matches idempotently per batch (foreachBatch, the
+    exactly-once recipe of streaming/upsert.py). State stays bounded:
+    the signature store lives in the lake, stream state is only the
+    source offsets. Draining the same new-arrival subset must equal the
+    batch op — the oracle is C47's, verbatim."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="ojo_stream_mh_")
+    landing = f"{work}/landing"
+    index = f"{work}/index"
+    out = f"{work}/matches"
+    ckpt = f"{work}/ckpt"
+
+    from ..streaming.minhash import (
+        read_matches,
+        seed_index,
+        stage_arrivals,
+        stream_minhash_dedup as drain,
+    )
+
+    seed_index(spark, sf_dir, index)
+    stage_arrivals(spark, sf_dir, landing)
+    drain(spark, sf_dir, landing, index, out, ckpt)
+    return read_matches(spark, out).orderBy("id_a", "id_b")

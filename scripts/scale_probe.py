@@ -1,0 +1,175 @@
+"""Empirical scale probe: per-query scaling exponents across SFs.
+
+The bench measures ONE scale factor; every "holds at 100×" claim
+otherwise rests on plan reading. This probe runs the headline set at
+three scale factors (default sf0.001 / sf0.01 / sf0.1 — 1:10:100 in
+rows), fits each query's wall time to
+
+    t(x) = c + a * x^b        x = rows relative to the smallest SF
+
+where ``c`` absorbs the per-query JVM floor (scheduler rounds, codegen,
+fixed job overhead — ~1.3 s/query at sf0.001 on the local rig) and
+``b`` is the empirical scaling exponent of the data-dependent part.
+An op whose work grows linearly with input shows b ≈ 1; a hidden
+all-pairs or single-reducer stage shows b → 2 / steep superlinear.
+
+Fit: grid search over b with exact least squares for (c, a) at each b
+(3 points, 2 linear params — the grid picks the best-conditioned
+exponent instead of solving an ill-posed 3-param system). Queries
+whose data term never rises above noise (a * x_max^b < NOISE_SEC) are
+floor-dominated at these SFs: their exponent is unidentifiable and
+reported as null rather than a fake 0.
+
+Usage:
+    python scripts/scale_probe.py                      # run + fit
+    python scripts/scale_probe.py --from a.json b.json c.json
+                                                       # fit recorded runs
+    python scripts/scale_probe.py --flag-above 1.3
+
+Writes bench_out/scale_probe.json and prints a ranked table; exits 1
+if any non-exempt query's exponent exceeds the flag threshold (the
+exemptions are the documented superlinear-by-design ops).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_SFS = ["0.001", "0.01", "0.1"]
+NOISE_SEC = 0.35  # data term below this at the largest SF ⇒ floor-dominated
+FLAG_B = 1.3
+
+# Superlinear by DESIGN, argued in the op docstrings — the probe proves
+# everything else is not. Keep this list justified, like BNLJ_OK.
+EXEMPT: dict[str, str] = {
+    "near_dup_cosine": "declared EXACT all-pairs baseline (block-pair matmul, "
+    "O(n^2/B) by contract; the scale path is ann_lsh_bucketed/ann_ivf)",
+    "ann_topk_bruteforce": "declared exact eval baseline (O(n·k_panel)); "
+    "panel is fixed-count so this is a constant factor, listed defensively",
+}
+
+
+def run_bench(sf: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=f"/root/testdata/sf{sf}")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def fit_query(ts: list[float], xs: list[float]) -> dict:
+    """Fit t = c + a*x^b (c,a >= 0) by grid search over b."""
+    t = np.asarray(ts, dtype=float)
+    x = np.asarray(xs, dtype=float)
+    best = None
+    for b in np.arange(0.0, 3.01, 0.01):
+        A = np.column_stack([np.ones_like(x), x**b])
+        coef, *_ = np.linalg.lstsq(A, t, rcond=None)
+        c, a = coef
+        if a < 0:  # flat/decreasing: pure floor
+            c, a = float(t.mean()), 0.0
+        if c < 0:  # no floor: pure power law
+            a = float((t @ (x**b)) / ((x**b) @ (x**b)))
+            c = 0.0
+        resid = float(np.sum((c + a * x**b - t) ** 2))
+        if best is None or resid < best["resid"]:
+            best = {"b": round(float(b), 2), "c": round(c, 3),
+                    "a": a, "resid": resid}
+    data_term = best["a"] * float(x[-1]) ** best["b"]
+    floor_dominated = data_term < NOISE_SEC
+    return {
+        "exponent": None if floor_dominated else best["b"],
+        "floor_sec": best["c"],
+        "data_term_at_max_sf": round(data_term, 3),
+        "floor_dominated": floor_dominated,
+        "times": [round(v, 3) for v in ts],
+    }
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    flag_above = FLAG_B
+    from_files: list[str] = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--from":
+            while i + 1 < len(argv) and not argv[i + 1].startswith("--"):
+                from_files.append(argv[i + 1])
+                i += 1
+            i += 1
+        elif argv[i] == "--flag-above":
+            flag_above = float(argv[i + 1])
+            i += 2
+        else:
+            print(f"unknown arg {argv[i]}", file=sys.stderr)
+            return 2
+    if from_files:
+        runs = [json.load(open(f)) for f in from_files]
+    else:
+        runs = [run_bench(sf) for sf in DEFAULT_SFS]
+    runs.sort(key=lambda r: float(r["sf"]))
+    sfs = [float(r["sf"]) for r in runs]
+    xs = [s / sfs[0] for s in sfs]
+
+    keys = set(runs[0]["queries"])
+    for r in runs[1:]:
+        keys &= set(r["queries"])
+    fits = {}
+    for k in sorted(keys):
+        fits[k] = fit_query([r["queries"][k] for r in runs], xs)
+
+    flagged = {
+        k: v
+        for k, v in fits.items()
+        if v["exponent"] is not None
+        and v["exponent"] > flag_above
+        and k not in EXEMPT
+    }
+    report = {
+        "sfs": sfs,
+        "flag_above": flag_above,
+        "noise_sec": NOISE_SEC,
+        "exempt": EXEMPT,
+        "flagged": sorted(flagged),
+        "fits": fits,
+    }
+    os.makedirs(os.path.join(REPO, "bench_out"), exist_ok=True)
+    out_path = os.path.join(REPO, "bench_out", "scale_probe.json")
+    with open(out_path, "w") as fh:
+        json.dump(report, fh, indent=1, sort_keys=True)
+
+    ranked = sorted(
+        ((k, v) for k, v in fits.items() if v["exponent"] is not None),
+        key=lambda kv: -kv[1]["exponent"],
+    )
+    print(f"{'query':<40} {'b':>5} {'floor_s':>8} {'data_s@max':>10}  times")
+    for k, v in ranked[:30]:
+        mark = " FLAG" if k in flagged else ("  (exempt)" if k in EXEMPT else "")
+        print(
+            f"{k:<40} {v['exponent']:>5.2f} {v['floor_sec']:>8.3f} "
+            f"{v['data_term_at_max_sf']:>10.3f}  {v['times']}{mark}"
+        )
+    n_floor = sum(1 for v in fits.values() if v["floor_dominated"])
+    print(
+        f"# {len(fits)} queries fitted, {n_floor} floor-dominated, "
+        f"{len(flagged)} flagged (> {flag_above}); report: {out_path}"
+    )
+    if flagged:
+        print("FLAGGED:", ", ".join(sorted(flagged)))
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -241,3 +241,52 @@ def test_stateful_anomaly_state_survives_batches(spark, tmp_path):
     prev = np.array([4, 6, 5, 7, 5, 6], dtype=float)
     z_expected = (50 - prev.mean()) / prev.std(ddof=1)
     assert abs(final[6]["z"] - round(z_expected + 1e-9, 4)) < 1e-9
+
+
+def test_streaming_minhash_dedup_drain_equals_batch_and_restart_is_noop(
+    spark, sf_dir, tmp_path
+):
+    """C229: the streaming MinHash probe. Draining the new-arrival
+    subset through the foreachBatch signature-store probe must emit
+    exactly the batch op's match set (C47), across multiple
+    micro-batches; restarting on the drained checkpoint must process
+    nothing and leave the matches unchanged."""
+    from ojo_daps_mirror_spark.plans.llm_plans6 import (
+        incremental_minhash_dedup,
+    )
+    from ojo_daps_mirror_spark.streaming.minhash import (
+        read_matches,
+        seed_index,
+        stage_arrivals,
+        stream_minhash_dedup,
+    )
+
+    landing = str(tmp_path / "landing")
+    index = str(tmp_path / "index")
+    out = str(tmp_path / "matches")
+    ckpt = str(tmp_path / "ckpt")
+
+    seed_index(spark, sf_dir, index)
+    stage_arrivals(spark, sf_dir, landing, n_files=4)
+    stream_minhash_dedup(spark, sf_dir, landing, index, out, ckpt)
+
+    def keyset(df):
+        return {
+            (r.id_a, r.id_b, round(r.jaccard, 4)) for r in df.collect()
+        }
+
+    got = keyset(read_matches(spark, out))
+    expect = keyset(incremental_minhash_dedup(spark, sf_dir))
+    assert got == expect and expect, "drained matches must equal batch C47"
+
+    # multiple micro-batches actually ran (maxFilesPerTrigger=1)
+    import os
+
+    batch_dirs = [d for d in os.listdir(out) if d.startswith("batch_id=")]
+    assert len(batch_dirs) >= 2, batch_dirs
+
+    # restart on the drained checkpoint: no reprocessing, no new dirs
+    stream_minhash_dedup(spark, sf_dir, landing, index, out, ckpt)
+    assert keyset(read_matches(spark, out)) == expect
+    after = [d for d in os.listdir(out) if d.startswith("batch_id=")]
+    assert sorted(after) == sorted(batch_dirs)
