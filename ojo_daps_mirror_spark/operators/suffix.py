@@ -21,9 +21,30 @@ Persisting is the right cluster call too: MEMORY_AND_DISK spills the
 ~×48-bytes-of-corpus sort. A pipeline that runs only ONE of the family
 pays exactly what it paid before (the cache is lazy); ``clear_cache``
 releases the blocks when a long-lived session moves on.
+
+**The scale knob — content-defined suffix sampling.** Exact mode
+explodes EVERY position: the sort input is ~×cap the corpus bytes
+(≈5 PB of shuffle at 100 TB), which is what ExactSubstr costs without
+a compressed suffix-array build. For corpus scales where that is not
+worth it, set ``SPARK_GRAFT_SUFFIX_STRIDE=s`` (or pass ``stride=s``):
+only positions whose ``ANCHOR_W``-char content window hashes to
+``0 mod s`` are exploded, cutting sort input ~s×. Anchors are
+CONTENT-defined (the winnowing/CDC idea), so both copies of a
+duplicated span sample the SAME in-span offsets and still collide in
+the sort — naive every-s-th-position sampling would only catch pairs
+whose alignments agree mod s. Detection stays sound (every reported
+span is a real duplicate: sampled coverage is a subset of exact
+coverage, per-position LCP is a lower bound) but becomes incomplete:
+a duplicated run is found iff an anchor lands in it, so short spans
+near the ``ESD_MIN`` threshold are missed with probability
+~(1 - 1/s)^(L - ANCHOR_W). Recall floor is asserted in
+tests/test_suffix_sampled.py. Oracle parity holds only at stride 1
+(the default — the driver and tests never set the env var).
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,10 +52,22 @@ from pyspark.sql import functions as F
 from ..sources import load_table
 from .rank import attach_prev
 
-_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+_CACHE: dict[tuple[str, str, int, int], DataFrame] = {}
+
+ANCHOR_W = 8  # content-anchor window (chars) for the sampled mode
 
 
-def adjacent_suffixes(spark: SparkSession, sf_dir: str, cap: int) -> DataFrame:
+def resolved_stride(stride: int | None = None) -> int:
+    if stride is None:
+        stride = int(os.environ.get("SPARK_GRAFT_SUFFIX_STRIDE", "1"))
+    if stride < 1:
+        raise ValueError(f"suffix stride must be >= 1, got {stride}")
+    return stride
+
+
+def adjacent_suffixes(
+    spark: SparkSession, sf_dir: str, cap: int, stride: int | None = None
+) -> DataFrame:
     """The sorted, lag-adjacent capped-suffix frame of the documents
     table: one row per character position with columns
 
@@ -43,20 +76,33 @@ def adjacent_suffixes(spark: SparkSession, sf_dir: str, cap: int) -> DataFrame:
       pd / pp / pn / ps (the SORT-PREDECESSOR's doc_id / p / n / suf;
       NULL on the first row of the total (suf, doc_id, p) order).
 
-    Materialized once per (application, sf_dir, cap) and shared by all
-    ExactSubstr-family consumers in the session.
+    Materialized once per (application, sf_dir, cap, stride) and shared
+    by all ExactSubstr-family consumers in the session. ``stride`` > 1
+    switches to content-anchored sampling (module docstring).
     """
-    key = (spark.sparkContext.applicationId, sf_dir, cap)
+    stride = resolved_stride(stride)
+    key = (spark.sparkContext.applicationId, sf_dir, cap, stride)
     hit = _CACHE.get(key)
     if hit is not None:
         return hit
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sufs = docs.select(
+    positions = docs.select(
         "doc_id",
         F.length("text").cast("bigint").alias("n"),
         F.explode(F.expr("sequence(1, length(text))")).alias("p"),
         "text",
-    ).select(
+    )
+    if stride > 1:
+        # content-defined anchor: both copies of a duplicated span carry
+        # identical windows, so they sample identical in-span offsets
+        positions = positions.where(
+            F.pmod(
+                F.xxhash64(F.expr(f"substring(text, p, {ANCHOR_W})")),
+                F.lit(stride),
+            )
+            == 0
+        )
+    sufs = positions.select(
         "doc_id",
         "n",
         F.col("p").cast("bigint").alias("p"),

@@ -65,7 +65,13 @@ def run_bench(sf: str) -> dict:
         check=True,
     )
     line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    rec = json.loads(line)
+    # persist each leg: a later leg failing must not lose this one, and
+    # the sf0.1 leg IS the round's local bench record for bench_diff.py
+    os.makedirs(os.path.join(REPO, "bench_out"), exist_ok=True)
+    with open(os.path.join(REPO, "bench_out", f"probe_sf{sf}.json"), "w") as fh:
+        json.dump(rec, fh, indent=1, sort_keys=True)
+    return rec
 
 
 def fit_query(ts: list[float], xs: list[float]) -> dict:

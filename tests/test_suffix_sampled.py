@@ -1,0 +1,78 @@
+"""Content-anchored suffix sampling: the ExactSubstr scale mode.
+
+operators/suffix.py's stride mode cuts the suffix-sort input ~stride×
+by exploding only positions whose ANCHOR_W-char content window hashes
+to 0 mod stride. Because anchors are content-defined, both copies of a
+duplicated span sample identical in-span offsets, so sampling loses
+RECALL only — soundness is structural (every sampled position's LCP
+measures a real duplicate occurrence, and is a lower bound of its
+exact max-neighbour LCP). These tests pin both halves of that claim
+on the sf0.001 corpus:
+
+  1. subset: sampled span coverage ⊆ exact span coverage, per doc;
+  2. recall: sampled coverage keeps >= a floor of exact dup chars
+     (measured 0.909 / 0.824 / 0.755 at strides 2 / 4 / 8 — asserted
+     with slack, deterministic input, deterministic hash).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ojo_daps_mirror_spark.plans.llm_plans139 import _merged_spans
+
+RECALL_FLOOR = {2: 0.85, 4: 0.75, 8: 0.65}
+
+
+def _coverage(spark, sf_dir, stride):
+    os.environ["SPARK_GRAFT_SUFFIX_STRIDE"] = str(stride)
+    try:
+        _, merged = _merged_spans(spark, sf_dir)
+        rows = merged.collect()
+    finally:
+        del os.environ["SPARK_GRAFT_SUFFIX_STRIDE"]
+    return {
+        r["doc_id"]: {
+            c for iv in r["miv"] for c in range(iv["s"], iv["e"])
+        }
+        for r in rows
+    }
+
+
+@pytest.mark.parametrize("stride", [2, 4, 8])
+def test_sampled_spans_sound_and_recall(spark, sf_dir, stride):
+    exact = _coverage(spark, sf_dir, 1)
+    sampled = _coverage(spark, sf_dir, stride)
+
+    # soundness: no sampled span char outside the exact span set
+    for doc_id, chars in sampled.items():
+        extra = chars - exact.get(doc_id, set())
+        assert not extra, (
+            f"stride={stride} doc {doc_id}: {len(extra)} chars flagged "
+            "that exact mode does not flag"
+        )
+
+    total_exact = sum(len(v) for v in exact.values())
+    total_sampled = sum(len(v) for v in sampled.values())
+    assert total_exact > 0
+    recall = total_sampled / total_exact
+    assert recall >= RECALL_FLOOR[stride], (
+        f"stride={stride}: recall {recall:.4f} below floor "
+        f"{RECALL_FLOOR[stride]}"
+    )
+
+
+def test_stride_resolution_and_validation():
+    from ojo_daps_mirror_spark.operators.suffix import resolved_stride
+
+    assert resolved_stride(3) == 3
+    os.environ["SPARK_GRAFT_SUFFIX_STRIDE"] = "5"
+    try:
+        assert resolved_stride() == 5
+    finally:
+        del os.environ["SPARK_GRAFT_SUFFIX_STRIDE"]
+    assert resolved_stride() == 1
+    with pytest.raises(ValueError):
+        resolved_stride(0)
