@@ -79,7 +79,10 @@ def fit_query(ts: list[float], xs: list[float]) -> dict:
     t = np.asarray(ts, dtype=float)
     x = np.asarray(xs, dtype=float)
     best = None
-    for b in np.arange(0.0, 3.01, 0.01):
+    # b starts above 0: at b=0 the design matrix [1, x^0] is collinear
+    # and lstsq splits a flat query's constant arbitrarily between c and
+    # a, defeating the floor-domination check
+    for b in np.arange(0.05, 3.01, 0.01):
         A = np.column_stack([np.ones_like(x), x**b])
         coef, *_ = np.linalg.lstsq(A, t, rcond=None)
         c, a = coef
@@ -92,14 +95,14 @@ def fit_query(ts: list[float], xs: list[float]) -> dict:
         if best is None or resid < best["resid"]:
             best = {"b": round(float(b), 2), "c": round(c, 3),
                     "a": a, "resid": resid}
-    data_term = best["a"] * float(x[-1]) ** best["b"]
-    floor_dominated = data_term < NOISE_SEC
+    data_term = float(best["a"]) * float(x[-1]) ** best["b"]
+    floor_dominated = bool(data_term < NOISE_SEC)
     return {
-        "exponent": None if floor_dominated else best["b"],
-        "floor_sec": best["c"],
+        "exponent": None if floor_dominated else float(best["b"]),
+        "floor_sec": float(best["c"]),
         "data_term_at_max_sf": round(data_term, 3),
         "floor_dominated": floor_dominated,
-        "times": [round(v, 3) for v in ts],
+        "times": [round(float(v), 3) for v in ts],
     }
 
 
