@@ -15,10 +15,28 @@ all-pairs or single-reducer stage shows b → 2 / steep superlinear.
 
 Fit: grid search over b with exact least squares for (c, a) at each b
 (3 points, 2 linear params — the grid picks the best-conditioned
-exponent instead of solving an ill-posed 3-param system). Queries
-whose data term never rises above noise (a * x_max^b < NOISE_SEC) are
-floor-dominated at these SFs: their exponent is unidentifiable and
-reported as null rather than a fake 0.
+exponent instead of solving an ill-posed 3-param system).
+
+Identifiability is graded honestly — the first local run taught us
+why. With a ~0.5-1.3 s floor, a query whose data term is only ~1 s at
+the LARGEST SF carries data signal in exactly one of the three points;
+any exponent fits [t, t, t+Δ] and the grid pins b at its ceiling.
+Flagging those as superlinear is noise laundering. So:
+
+  - floor-dominated: data term < NOISE_SEC even at the largest SF →
+    exponent null, no flag (the op is too cheap to measure here);
+  - tail-only: data term visible at the largest SF but below noise at
+    the MIDDLE SF under the best fit → exponent unidentifiable from 3
+    points; reported null with ``tail_ratio`` (= t_max/t_mid, raw) so
+    a human can eyeball it, no flag. A REAL hidden quadratic does not
+    hide here: +2 decades of data through an O(n^2) stage multiplies
+    the visible tail by ~100, which lands it in the identifiable
+    bucket with b ≈ 2.
+  - non-monotone: the middle leg is >1.5× BOTH end legs — a transient
+    (GC pause, co-tenant load) poisons the fit; reported as noisy,
+    no flag, re-measure.
+  - identifiable: data term ≥ NOISE_SEC at both the middle and top SF
+    → the exponent is real; flagged iff b > threshold and not exempt.
 
 Usage:
     python scripts/scale_probe.py                      # run + fit
@@ -95,15 +113,30 @@ def fit_query(ts: list[float], xs: list[float]) -> dict:
         if best is None or resid < best["resid"]:
             best = {"b": round(float(b), 2), "c": round(c, 3),
                     "a": a, "resid": resid}
-    data_term = float(best["a"]) * float(x[-1]) ** best["b"]
-    floor_dominated = bool(data_term < NOISE_SEC)
-    return {
-        "exponent": None if floor_dominated else float(best["b"]),
+    data_max = float(best["a"]) * float(x[-1]) ** best["b"]
+    data_mid = float(best["a"]) * float(x[-2]) ** best["b"]
+    non_monotone = bool(
+        len(t) >= 3 and t[-2] > 1.5 * t[0] and t[-2] > 1.5 * t[-1]
+    )
+    if non_monotone:
+        grade = "non_monotone"
+    elif data_max < NOISE_SEC:
+        grade = "floor_dominated"
+    elif data_mid < NOISE_SEC:
+        grade = "tail_only"
+    else:
+        grade = "identifiable"
+    out = {
+        "exponent": float(best["b"]) if grade == "identifiable" else None,
+        "grade": grade,
         "floor_sec": float(best["c"]),
-        "data_term_at_max_sf": round(data_term, 3),
-        "floor_dominated": floor_dominated,
+        "data_term_at_max_sf": round(data_max, 3),
+        "data_term_at_mid_sf": round(data_mid, 3),
         "times": [round(float(v), 3) for v in ts],
     }
+    if grade == "tail_only" and t[-2] > 0:
+        out["tail_ratio"] = round(float(t[-1] / t[-2]), 2)
+    return out
 
 
 def main() -> int:
@@ -169,11 +202,24 @@ def main() -> int:
             f"{k:<40} {v['exponent']:>5.2f} {v['floor_sec']:>8.3f} "
             f"{v['data_term_at_max_sf']:>10.3f}  {v['times']}{mark}"
         )
-    n_floor = sum(1 for v in fits.values() if v["floor_dominated"])
+    grades = {}
+    for v in fits.values():
+        grades[v["grade"]] = grades.get(v["grade"], 0) + 1
     print(
-        f"# {len(fits)} queries fitted, {n_floor} floor-dominated, "
+        f"# {len(fits)} queries fitted, grades {grades}, "
         f"{len(flagged)} flagged (> {flag_above}); report: {out_path}"
     )
+    tails = sorted(
+        ((k, v) for k, v in fits.items() if v["grade"] == "tail_only"),
+        key=lambda kv: -kv[1].get("tail_ratio", 0.0),
+    )[:10]
+    if tails:
+        print("# tail-only (unidentifiable from 3 points; eyeball ratio):")
+        for k, v in tails:
+            print(
+                f"#   {k:<38} tail_ratio={v.get('tail_ratio'):>6} "
+                f"times={v['times']}"
+            )
     if flagged:
         print("FLAGGED:", ", ".join(sorted(flagged)))
         return 1
