@@ -315,6 +315,10 @@ BENCH_KEYS: list[str] = [
     "quintile_migration_matrix",
     "consensus_partition_select",
     "dedup_substring_spans",
+    # round 4: the other two consumers of the shared suffix stage —
+    # cheap once operators/suffix.py materialises the sort ONCE
+    "dedup_substring_excise",
+    "token_yield_waterfall",
 ]
 
 

@@ -1,0 +1,215 @@
+"""Replica scale-stress: one more decade of data for the heavy family.
+
+The 3-SF probe (scripts/scale_probe.py) leaves the expensive
+dedup / ANN / suffix operators in the "tail-only" bucket: their data
+term is visible only at sf0.1, so a 3-point fit cannot identify the
+scaling exponent. This harness buys the missing decade by replicating
+the PROVIDED sf0.1 tables R× (default 16) into a scratch directory and
+timing the heavy keys there, then emitting a bench-shaped record that
+scale_probe.py --from can fit as a 4th point.
+
+Replication must not change the WORKLOAD SHAPE, only its size:
+
+- documents: replica r keeps doc structure and length distribution but
+  maps text through a per-replica alphabet permutation
+  (``translate``). Within a replica the planted duplicate structure is
+  preserved EXACTLY (translation is a bijection on characters, so
+  equal substrings stay equal), while across replicas shingle overlap
+  is destroyed (every vowel/consonant swaps differently), so the
+  corpus dup RATE stays constant as R grows — naive replication would
+  instead create R-way exact dups and blow candidate pairs up
+  quadratically, measuring a different (adversarial) workload.
+- embeddings: replica r rotates the 64-dim vector by r coordinates.
+  Rotation is orthogonal: within-replica cosine geometry is preserved
+  exactly; across replicas the alignment decorrelates (for these
+  near-isotropic synthetic vectors, expected cross-replica cosine
+  ~ 0), so ANN bucket occupancy grows linearly, not adversarially.
+- every other table: symlinked unchanged (the heavy keys only join
+  dimension-sized frames from them, if at all).
+
+Usage:
+    python scripts/scale_stress.py [--replicas 16] [--out-dir DIR]
+    python scripts/scale_probe.py --from bench_out/probe_sf0.001.json \
+        bench_out/probe_sf0.01.json bench_out/probe_sf0.1.json \
+        bench_out/stress_sf1.6.json
+
+Writes bench_out/stress_sf{R/10}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# The data-dominated family the 3-SF probe cannot grade (tail-only),
+# plus the suffix trio's shared-sort consumers. Keys only — all are
+# registered queries, so the timing path is identical to bench.py's.
+HEAVY_KEYS = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ngram_jaccard",
+    "text_dedup_pipeline",
+    "paragraph_dedup",
+    "containment_dedup",
+    "sorted_neighborhood_dedup",
+    "winnowing_fingerprints",
+    "minhash_perturbation_audit",
+    "doc_fingerprint",
+    "token_count",
+    "quality_gopher",
+    "suffix_lcp_boilerplate",
+    "dedup_substring_spans",
+    "dedup_substring_excise",
+    "token_yield_waterfall",
+    "semdedup",
+    "ann_lsh_bucketed",
+    "ann_ivf",
+    "embedding_dedup_graph",
+    "near_dup_windowed",
+]
+
+
+def _perm(r: int) -> str:
+    """Per-replica alphabet permutation: a simple affine shift keeps it
+    a bijection; r=0 is the identity so replica 0 IS the original."""
+    return ALPHA[r % 26:] + ALPHA[: r % 26]
+
+
+def build(spark, out_dir: str, replicas: int) -> None:
+    from pyspark.sql import functions as F
+
+    from ojo_daps_mirror_spark.sources import load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if os.path.lexists(dst):
+            if os.path.islink(dst):
+                os.unlink(dst)
+            else:
+                shutil.rmtree(dst, ignore_errors=True)
+        if t not in ("documents", "embeddings"):
+            os.symlink(os.path.join(BASE_SF_DIR, f"{t}.parquet"), dst)
+    docs = load_table(spark, BASE_SF_DIR, "documents")
+    emb = load_table(spark, BASE_SF_DIR, "embeddings")
+    id_span = 10_000_000
+
+    doc_parts = []
+    for r in range(replicas):
+        part = docs.select(
+            (F.col("doc_id") + F.lit(r * id_span)).alias("doc_id"),
+            F.translate(
+                F.translate("text", ALPHA, _perm(r)),
+                ALPHA.upper(),
+                _perm(r).upper(),
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        doc_parts.append(part)
+    out_docs = doc_parts[0]
+    for p in doc_parts[1:]:
+        out_docs = out_docs.unionByName(p)
+    out_docs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+    emb_parts = []
+    dim = 64
+    for r in range(replicas):
+        rot = r % dim
+        rotated = (
+            F.col("embedding")
+            if rot == 0
+            else F.concat(
+                F.slice("embedding", rot + 1, dim - rot),
+                F.slice("embedding", 1, rot),
+            )
+        )
+        emb_parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(r * id_span)).alias("vec_id"),
+                rotated.alias("embedding"),
+                "label",
+            )
+        )
+    out_emb = emb_parts[0]
+    for p in emb_parts[1:]:
+        out_emb = out_emb.unionByName(p)
+    out_emb.repartition(16).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+
+
+def main() -> int:
+    replicas = 16
+    out_dir = "/tmp/ojo_scale_stress"
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--replicas":
+            replicas = int(argv[i + 1])
+            i += 2
+        elif argv[i] == "--out-dir":
+            out_dir = argv[i + 1]
+            i += 2
+        else:
+            print(f"unknown arg {argv[i]}", file=sys.stderr)
+            return 2
+
+    from ojo_daps_mirror_spark import plans
+    from ojo_daps_mirror_spark.session import get_spark
+
+    plans.load_all()
+    spark = get_spark(app_name="ojo-scale-stress")
+    t0 = time.perf_counter()
+    build(spark, out_dir, replicas)
+    print(f"# built {replicas}x replica at {out_dir} "
+          f"in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    keys = [k for k in HEAVY_KEYS if k in plans.QUERIES]
+    timings: dict[str, float] = {}
+    for k in keys:
+        fn = plans.QUERIES[k]
+        fn(spark, out_dir).count()  # warm-up (JIT + footers), like bench.py
+        t1 = time.perf_counter()
+        fn(spark, out_dir).count()
+        timings[k] = round(time.perf_counter() - t1, 3)
+        print(f"{k}: {timings[k]}s", flush=True)
+
+    sf = round(0.1 * replicas, 2)
+    rec = {
+        "metric": "heavy_family_stress_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "replicas": replicas,
+        "base_sf_dir": BASE_SF_DIR,
+    }
+    os.makedirs(os.path.join(REPO, "bench_out"), exist_ok=True)
+    path = os.path.join(REPO, "bench_out", f"stress_sf{sf}.json")
+    with open(path, "w") as fh:
+        json.dump(rec, fh, indent=1, sort_keys=True)
+    print(json.dumps({k: rec[k] for k in ("metric", "value", "sf")}))
+    print(f"# record: {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
