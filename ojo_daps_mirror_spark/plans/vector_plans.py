@@ -179,7 +179,9 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- C9
 
 N_TABLES = 16
-N_BITS = 4
+N_BITS = 4  # floor: bucket-id width at small corpora
+MAX_BITS = 24  # ceiling: 16M buckets/table is enough for ~0.5B vectors
+TARGET_BUCKET = 32  # expected vectors per (table, bucket)
 EMB_DIM = 64
 
 
@@ -189,8 +191,28 @@ def _srp_signs(table: int, bit: int, dim: int) -> int:
     return 1 if h[0] % 2 == 0 else -1
 
 
+def _srp_bits_for(n: int) -> int:
+    """Corpus-adaptive hyperplane count: enough bits that the expected
+    (table, bucket) occupancy stays ~TARGET_BUCKET as the corpus grows.
+
+    This is the empirical scale lesson from the 16× replica stress
+    (bench_out/scale_probe_heavy.json): with bits FIXED at 4, bucket
+    occupancy grows ∝ n, the bucket self-join's candidate count grows
+    ∝ n², and the measured exponent was b = 1.67 (60 s at 16× sf0.1
+    vs 1.5 s at sf0.1). With bits ∝ log2(n / TARGET_BUCKET) occupancy
+    is ~constant, candidates grow ∝ n·tables·TARGET_BUCKET — linear —
+    which is how production LSH indexes size their codes. The count()
+    that feeds this is one metadata-cheap job; determinism is
+    preserved (bits is a pure function of n)."""
+    import math
+
+    if n <= TARGET_BUCKET:
+        return N_BITS
+    return max(N_BITS, min(MAX_BITS, math.ceil(math.log2(n / TARGET_BUCKET))))
+
+
 _HYPERPLANES = [
-    [[_srp_signs(t, b, d) for d in range(EMB_DIM)] for b in range(N_BITS)]
+    [[_srp_signs(t, b, d) for d in range(EMB_DIM)] for b in range(MAX_BITS)]
     for t in range(N_TABLES)
 ]
 
@@ -199,13 +221,17 @@ _HYPERPLANES = [
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH bucketed ANN — the scale path.
 
-    Each vector gets ``N_TABLES`` 4-bit sign-random-projection bucket
-    ids (map-side only); candidates are pairs sharing a (table, bucket);
-    exact cosine reranks candidates. At 100 TB the per-bucket shuffle
+    Each vector gets ``N_TABLES`` sign-random-projection bucket ids
+    (map-side only); candidates are pairs sharing a (table, bucket);
+    exact cosine reranks candidates. The bucket-id WIDTH adapts to the
+    corpus (``_srp_bits_for``): expected occupancy stays
+    ~TARGET_BUCKET, so candidate volume grows linearly with n instead
+    of quadratically — the 16× replica stress measured b = 1.67 with
+    the width fixed at 4 bits. At 100 TB the per-bucket shuffle
     partitions the corpus so no task ever sees the full set. Recall vs
     the brute-force baseline is asserted in tests/test_vectors.py.
 
-    All 64 hyperplane projections happen in ONE BLAS matmul per Arrow
+    All hyperplane projections happen in ONE BLAS matmul per Arrow
     batch inside a pandas_udf — the expression-tree version this
     replaced (16 tables × 4 bits of zip_with/aggregate over 64-element
     literal arrays) spent multiples of the runtime in codegen alone.
@@ -214,21 +240,24 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.pandas.functions import pandas_udf
 
-    # (N_TABLES*N_BITS) × EMB_DIM ±1 plane matrix, deterministic.
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    n_bits = _srp_bits_for(n_vecs)
+
+    # (N_TABLES*n_bits) × EMB_DIM ±1 plane matrix, deterministic.
     planes = np.array(
         [
             _HYPERPLANES[t][b]
             for t in range(N_TABLES)
-            for b in range(N_BITS)
+            for b in range(n_bits)
         ],
         dtype=np.float64,
     )
-    bit_weights = (1 << np.arange(N_BITS)).astype(np.int64)
+    bit_weights = (1 << np.arange(n_bits)).astype(np.int64)
 
     def _srp_buckets(e):
         M = np.stack(e.to_numpy()).astype(np.float64)
         bits = (M @ planes.T) > 0  # n × (tables*bits)
-        b = bits.reshape(len(M), N_TABLES, N_BITS) @ bit_weights
+        b = bits.reshape(len(M), N_TABLES, n_bits) @ bit_weights
         return pd.Series(list(b.astype(np.int32)))
 
     # `from __future__ import annotations` stringifies hints, which
