@@ -159,6 +159,8 @@ def build(spark, out_dir: str, replicas: int) -> None:
 def main() -> int:
     replicas = 16
     out_dir = "/tmp/ojo_scale_stress"
+    skip_build = False
+    keys_arg: list[str] = []
     argv = sys.argv[1:]
     i = 0
     while i < len(argv):
@@ -168,6 +170,14 @@ def main() -> int:
         elif argv[i] == "--out-dir":
             out_dir = argv[i + 1]
             i += 2
+        elif argv[i] == "--skip-build":
+            skip_build = True
+            i += 1
+        elif argv[i] == "--keys":
+            i += 1
+            while i < len(argv) and not argv[i].startswith("--"):
+                keys_arg.append(argv[i])
+                i += 1
         else:
             print(f"unknown arg {argv[i]}", file=sys.stderr)
             return 2
@@ -177,12 +187,15 @@ def main() -> int:
 
     plans.load_all()
     spark = get_spark(app_name="ojo-scale-stress")
-    t0 = time.perf_counter()
-    build(spark, out_dir, replicas)
-    print(f"# built {replicas}x replica at {out_dir} "
-          f"in {time.perf_counter() - t0:.1f}s", flush=True)
+    if skip_build:
+        print(f"# reusing replica at {out_dir}", flush=True)
+    else:
+        t0 = time.perf_counter()
+        build(spark, out_dir, replicas)
+        print(f"# built {replicas}x replica at {out_dir} "
+              f"in {time.perf_counter() - t0:.1f}s", flush=True)
 
-    keys = [k for k in HEAVY_KEYS if k in plans.QUERIES]
+    keys = [k for k in (keys_arg or HEAVY_KEYS) if k in plans.QUERIES]
     timings: dict[str, float] = {}
     for k in keys:
         fn = plans.QUERIES[k]
@@ -203,7 +216,8 @@ def main() -> int:
         "base_sf_dir": BASE_SF_DIR,
     }
     os.makedirs(os.path.join(REPO, "bench_out"), exist_ok=True)
-    path = os.path.join(REPO, "bench_out", f"stress_sf{sf}.json")
+    tag = "_extra" if keys_arg else ""
+    path = os.path.join(REPO, "bench_out", f"stress_sf{sf}{tag}.json")
     with open(path, "w") as fh:
         json.dump(rec, fh, indent=1, sort_keys=True)
     print(json.dumps({k: rec[k] for k in ("metric", "value", "sf")}))
