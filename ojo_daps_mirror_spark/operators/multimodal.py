@@ -183,29 +183,37 @@ def sample_frames(docs: DataFrame, every_nth: int = 4) -> DataFrame:
 
 
 def fingerprint_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: 32-bit content fingerprint per media blob —
-    the pHash slot. The stand-in hashes the raw bytes (md5 prefix, so
-    the oracle can mirror it SQL-side); a real deployment computes a
-    perceptual hash from decoded pixels/frames in this same kernel and
-    the banding pipeline downstream is unchanged."""
+    """mapInPandas kernel: 64-bit content fingerprint per media blob —
+    the pHash slot, carried as two positive 32-bit halves (sign-safe
+    band arithmetic in both Spark and DuckDB). The stand-in hashes the
+    raw bytes (md5 prefix, so the oracle can mirror it SQL-side); a
+    real deployment computes a perceptual hash from decoded
+    pixels/frames in this same kernel and the banding pipeline
+    downstream is unchanged. Fingerprint WIDTH is the dedup scale
+    knob: with hamming<=3 the pigeonhole band count is fixed at 4, so
+    per-band bucket occupancy is n / 2^(width/4) — 8-bit bands
+    saturated at the 16x replica stress (b~1.3); 16-bit bands hold
+    occupancy ~1 up to corpora of ~10^7 blobs, and a production
+    256-bit pHash pushes that out of sight."""
     import hashlib
 
     for pdf in batches:
+        hexes = [hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "media_type": [m["media_type"] for m in pdf["media_meta"]],
-                "phash": [
-                    int(hashlib.md5(bytes(p)).hexdigest()[:8], 16)
-                    for p in pdf["payload"]
-                ],
+                "phash": [int(h[:8], 16) for h in hexes],
+                "phash_lo": [int(h[8:16], 16) for h in hexes],
             }
         )
 
 
 def fingerprint_media(docs: DataFrame) -> DataFrame:
-    """documents → (doc_id, media_type, 32-bit fingerprint)."""
+    """documents → (doc_id, media_type, 64-bit fingerprint as two
+    positive 32-bit halves ``phash`` / ``phash_lo``)."""
     media = attach_media(docs)
     return media.mapInPandas(
-        fingerprint_batch, schema="doc_id long, media_type string, phash long"
+        fingerprint_batch,
+        schema="doc_id long, media_type string, phash long, phash_lo long",
     )

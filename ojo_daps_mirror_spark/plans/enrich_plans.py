@@ -509,6 +509,8 @@ def near_dup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     above-threshold pairs leave the task, and the max-over-windows agg
     touches only those.
     """
+    import hashlib
+
     import numpy as np
     import pandas as pd
 
@@ -538,7 +540,6 @@ def near_dup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_idx = np.nonzero(ids % ADAPTIVE_QUERY_SALT == salt)[0]
         if len(q_idx) == 0:
             return pd.DataFrame({"query_id": [], "neighbor_id": [], "score": []})
-        ch_i, ch_j = 128, 4096
         # Pass 1: per-row L1 sums in O(n·d·log n) via per-dimension
         # sorted prefix sums — for value x at rank k among a sorted
         # dimension, Σ_j |x − v_j| = x·(2(k+1) − n) + total − 2·csum[k].
@@ -557,20 +558,53 @@ def near_dup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).sum(axis=1)
         mean = row_sum / (n - 1)
         # Pass 2: emit qualifying pairs only, for this salt's queries.
+        # A qualifying neighbor j of query q satisfies
+        #   S > T  ⟺  L1(q, j) < r_q := mean_q · (1 − T),
+        # and for any u ∈ {±1}^d, |(x_q − x_j)·u| ≤ L1(q, j) (Hölder:
+        # ‖u‖∞ = 1). So after projecting every row onto ONE
+        # deterministic ±1 vector and sorting, each query's candidates
+        # live inside the contiguous projection interval
+        # (p_q − r_q, p_q + r_q) — a sound bound, never drops a true
+        # pair — and exact L1 verifies only that slice. This replaced
+        # a full chunked O(n_w²·d) sweep that measured b ≈ 1.74 at the
+        # 16× replica stress (174 s vs 1.4 s at sf0.1): near-dup radii
+        # are small relative to the projection spread, so the interval
+        # prunes all but O(1)-ish candidates per query and the pass is
+        # ~linear in the window. Degenerate corpora (everything within
+        # r of everything) re-expand toward n_w² — but then the OUTPUT
+        # is n_w² pairs and no algorithm does better.
         Mq, idsq, meanq = M[q_idx], ids[q_idx], mean[q_idx]
         nq = len(q_idx)
+        u = np.array(
+            [
+                1.0 if hashlib.md5(f"adl1:{d}".encode()).digest()[0] % 2 == 0
+                else -1.0
+                for d in range(M.shape[1])
+            ]
+        )
+        proj = M @ u
+        order_p = np.argsort(proj, kind="stable")
+        ps = proj[order_p]
+        pq = Mq @ u
+        rq = meanq * (1.0 - REL_DUP_THRESHOLD) + 1e-9
+        lo = np.searchsorted(ps, pq - rq, side="left")
+        hi = np.searchsorted(ps, pq + rq, side="right")
         out_q, out_n, out_s = [], [], []
-        for i in range(0, nq, ch_i):
-            for j in range(0, n, ch_j):
-                D = np.abs(
-                    Mq[i : i + ch_i, None, :] - M[None, j : j + ch_j, :]
-                ).sum(-1)
-                S = (meanq[i : i + ch_i, None] - D) / meanq[i : i + ch_i, None]
-                qi, ni = np.nonzero(S > REL_DUP_THRESHOLD)
-                keep = idsq[qi + i] != ids[ni + j]
-                out_q.append(idsq[(qi + i)[keep]])
-                out_n.append(ids[(ni + j)[keep]])
-                out_s.append(S[qi, ni][keep])
+        for i in range(nq):
+            cand = order_p[lo[i] : hi[i]]
+            if len(cand) == 0:
+                continue
+            D = np.abs(M[cand] - Mq[i]).sum(-1)
+            S = (meanq[i] - D) / meanq[i]
+            keep = (S > REL_DUP_THRESHOLD) & (ids[cand] != idsq[i])
+            if keep.any():
+                out_q.append(np.full(int(keep.sum()), idsq[i]))
+                out_n.append(ids[cand][keep])
+                out_s.append(S[keep])
+        if not out_q:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "score": []}
+            )
         return pd.DataFrame(
             {
                 "query_id": np.concatenate(out_q),

@@ -92,18 +92,20 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- C83
 
-PHASH_BANDS = 4  # 4 bands x 8 bits of the 32-bit fingerprint
+PHASH_BANDS = 4  # pigeonhole: ham<=3 over 4 bands -> one band exact
 PHASH_HAM_MAX = 3
 
 _C83_ORACLE = f"""
 WITH fp AS (
   SELECT doc_id,
-         ('0x' || substr(md5(text), 1, 8))::BIGINT AS phash
+         ('0x' || substr(md5(text), 1, 8))::BIGINT AS ph,
+         ('0x' || substr(md5(text), 9, 8))::BIGINT AS pl
   FROM documents
 ),
 bands AS (
-  SELECT doc_id, phash, b,
-         (phash // CAST(pow(256, b) AS BIGINT)) % 256 AS band_val
+  SELECT doc_id, b,
+         CASE b WHEN 0 THEN ph // 65536 WHEN 1 THEN ph % 65536
+                WHEN 2 THEN pl // 65536 ELSE pl % 65536 END AS band_val
   FROM fp, LATERAL unnest(generate_series(0, {PHASH_BANDS - 1})) AS t(b)
 ),
 cand AS (
@@ -112,11 +114,13 @@ cand AS (
     ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 )
 SELECT cand.id_a, cand.id_b,
-       CAST(bit_count(xor(fa.phash, fb.phash)) AS BIGINT) AS hamming
+       CAST(bit_count(xor(fa.ph, fb.ph)) + bit_count(xor(fa.pl, fb.pl))
+            AS BIGINT) AS hamming
 FROM cand
 JOIN fp fa ON fa.doc_id = cand.id_a
 JOIN fp fb ON fb.doc_id = cand.id_b
-WHERE bit_count(xor(fa.phash, fb.phash)) <= {PHASH_HAM_MAX}
+WHERE bit_count(xor(fa.ph, fb.ph)) + bit_count(xor(fa.pl, fb.pl))
+      <= {PHASH_HAM_MAX}
 ORDER BY id_a, id_b
 """
 
@@ -124,12 +128,19 @@ ORDER BY id_a, id_b
 @register("media_dedup_phash", oracle=_C83_ORACLE)
 def media_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media dedup through the binary column: every blob fingerprints
-    to 32 bits inside the Arrow kernel (operators/multimodal.py:
-    fingerprint_batch — the pHash slot; the stand-in hashes raw bytes,
-    a real deployment hashes decoded pixels and NOTHING downstream
-    changes), then C6's banding shape finds near-identical
-    fingerprints: 4×8-bit bands → bucket pairs → hamming ≤
-    {PHASH_HAM_MAX} verify via bit_count(xor).
+    to 64 bits inside the Arrow kernel (operators/multimodal.py:
+    fingerprint_batch — the pHash slot as two positive 32-bit halves;
+    the stand-in hashes raw bytes, a real deployment hashes decoded
+    pixels and NOTHING downstream changes), then C6's banding shape
+    finds near-identical fingerprints: 4×16-bit bands → bucket pairs →
+    hamming ≤ {PHASH_HAM_MAX} verify via bit_count(xor) on each half.
+
+    The band width is the scale story: hamming ≤ 3 pigeonholes into 4
+    bands no matter what, so per-band occupancy is n / 2^width. The
+    original 32-bit / 8-bit-band version measured b≈1.3 at the 16×
+    replica stress (bucket pairs ∝ n²/256); 16-bit bands keep
+    occupancy ~1 into the 10^7-blob range, and a production pHash
+    widens the fingerprint further, never the buckets.
 
     With the md5 stand-in only identical payloads collide (avalanche),
     so the output is the exact-duplicate media pairs — the banding
@@ -140,14 +151,16 @@ def media_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import fingerprint_media
 
     docs = load_table(spark, sf_dir, "documents")
-    fp = fingerprint_media(docs).select("doc_id", "phash").persist()
+    fp = fingerprint_media(docs).select("doc_id", "phash", "phash_lo").persist()
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1)),
         lambda b: F.struct(
             b.alias("b"),
-            ((F.col("phash") / F.pow(F.lit(256.0), b)).cast("bigint") % 256).alias(
-                "band_val"
-            ),
+            F.when(b == 0, (F.col("phash") / 65536).cast("bigint"))
+            .when(b == 1, F.col("phash") % 65536)
+            .when(b == 2, (F.col("phash_lo") / 65536).cast("bigint"))
+            .otherwise(F.col("phash_lo") % 65536)
+            .alias("band_val"),
         ),
     )
     bands = fp.select("doc_id", F.explode(band_arr).alias("x")).select(
@@ -173,9 +186,19 @@ def media_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.id_a", "p.id_b")
         .distinct()
     )
-    fa = fp.select(F.col("doc_id").alias("id_a"), F.col("phash").alias("pa"))
-    fb = fp.select(F.col("doc_id").alias("id_b"), F.col("phash").alias("pb"))
-    ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    fa = fp.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("phash").alias("pa"),
+        F.col("phash_lo").alias("pla"),
+    )
+    fb = fp.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("phash").alias("pb"),
+        F.col("phash_lo").alias("plb"),
+    )
+    ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))) + F.bit_count(
+        F.col("pla").bitwiseXOR(F.col("plb"))
+    )
     return (
         cand.join(F.broadcast(fa), "id_a")
         .join(F.broadcast(fb), "id_b")
