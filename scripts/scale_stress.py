@@ -24,8 +24,20 @@ Replication must not change the WORKLOAD SHAPE, only its size:
   exactly; across replicas the alignment decorrelates (for these
   near-isotropic synthetic vectors, expected cross-replica cosine
   ~ 0), so ANN bucket occupancy grows linearly, not adversarially.
-- every other table: symlinked unchanged (the heavy keys only join
-  dimension-sized frames from them, if at all).
+- events / orders / lineitem / customer (the ``--family olap`` build):
+  replicated TPC-H-style — facts and customer grow, part / supplier /
+  nation / region stay fixed (the classic warehouse growth pattern:
+  more orders per part, not more parts). Key offsets are consistent
+  (o_orderkey and l_orderkey share a span; o_custkey and c_custkey
+  share a span; events.user_id gets its own), so every fact↔fact and
+  fact↔customer join lands inside its replica and per-entity workload
+  shape is EXACTLY preserved: each replica customer has the original
+  order sequence, each replica user the original session structure.
+  Offsetting custkey (rather than fanning 16× the orders onto the
+  same customers) matters: shared customers would give every customer
+  16 same-date copies of each order, turning per-customer windows
+  into an adversarial burst workload instead of a bigger corpus.
+- every other table: symlinked unchanged.
 
 Usage:
     python scripts/scale_stress.py [--replicas 16] [--out-dir DIR]
@@ -83,16 +95,76 @@ HEAVY_KEYS = [
 ]
 
 
+OLAP_KEYS = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "top_parts_by_revenue",
+    "revenue_rollup",
+    "revenue_cube",
+    "repeat_orders_30d",
+    "skew_salted_join",
+    "star_join_7way",
+    "nation_market_share",
+    "events_sessionize",
+    "events_pivot_daily",
+    "funnel_conversion",
+    "user_retention",
+    "rolling_28d_volume",
+    "as_of_join",
+    "interval_overlap_join",
+    "peak_concurrency",
+    "session_path_analysis",
+    "window_funnel_depth",
+    "markov_attribution",
+    "last_touch_attribution",
+    "rolling_distinct_users",
+    "event_transition_matrix",
+]
+
+
 def _perm(r: int) -> str:
     """Per-replica alphabet permutation: a simple affine shift keeps it
     a bijection; r=0 is the identity so replica 0 IS the original."""
     return ALPHA[r % 26:] + ALPHA[: r % 26]
 
 
-def build(spark, out_dir: str, replicas: int) -> None:
+ID_SPAN = 10_000_000
+
+
+def _replicate_keyed(df, replicas: int, offset_cols: list[str]):
+    """Union R copies with consistent ID_SPAN offsets on offset_cols;
+    all other columns verbatim. Replica 0 is the original."""
+    from pyspark.sql import functions as F
+
+    parts = []
+    for r in range(replicas):
+        parts.append(
+            df.select(
+                *[
+                    (F.col(c) + F.lit(r * ID_SPAN)).alias(c)
+                    if c in offset_cols
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def build(spark, out_dir: str, replicas: int, family: str = "docs") -> None:
     from pyspark.sql import functions as F
 
     from ojo_daps_mirror_spark.sources import load_table
+
+    replicated = {"documents", "embeddings"}
+    if family in ("olap", "all"):
+        replicated |= {"events", "orders", "lineitem", "customer"}
+    if family == "olap":
+        replicated -= {"documents", "embeddings"}
 
     os.makedirs(out_dir, exist_ok=True)
     for t in TABLES:
@@ -102,8 +174,23 @@ def build(spark, out_dir: str, replicas: int) -> None:
                 os.unlink(dst)
             else:
                 shutil.rmtree(dst, ignore_errors=True)
-        if t not in ("documents", "embeddings"):
+        if t not in replicated:
             os.symlink(os.path.join(BASE_SF_DIR, f"{t}.parquet"), dst)
+
+    offsets = {
+        "events": ["event_id", "user_id"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey"],
+        "customer": ["c_custkey"],
+    }
+    for t, cols in offsets.items():
+        if t not in replicated:
+            continue
+        _replicate_keyed(load_table(spark, BASE_SF_DIR, t), replicas, cols)\
+            .repartition(32).write.mode("overwrite")\
+            .parquet(os.path.join(out_dir, f"{t}.parquet"))
+    if "documents" not in replicated:
+        return
     docs = load_table(spark, BASE_SF_DIR, "documents")
     emb = load_table(spark, BASE_SF_DIR, "embeddings")
     id_span = 10_000_000
@@ -158,8 +245,9 @@ def build(spark, out_dir: str, replicas: int) -> None:
 
 def main() -> int:
     replicas = 16
-    out_dir = "/tmp/ojo_scale_stress"
+    out_dir = None
     skip_build = False
+    family = "docs"
     keys_arg: list[str] = []
     argv = sys.argv[1:]
     i = 0
@@ -173,6 +261,9 @@ def main() -> int:
         elif argv[i] == "--skip-build":
             skip_build = True
             i += 1
+        elif argv[i] == "--family":
+            family = argv[i + 1]
+            i += 2
         elif argv[i] == "--keys":
             i += 1
             while i < len(argv) and not argv[i].startswith("--"):
@@ -181,6 +272,13 @@ def main() -> int:
         else:
             print(f"unknown arg {argv[i]}", file=sys.stderr)
             return 2
+
+    if out_dir is None:
+        out_dir = (
+            "/tmp/ojo_scale_stress"
+            if family == "docs"
+            else f"/tmp/ojo_scale_stress_{family}"
+        )
 
     from ojo_daps_mirror_spark import plans
     from ojo_daps_mirror_spark.session import get_spark
@@ -191,11 +289,12 @@ def main() -> int:
         print(f"# reusing replica at {out_dir}", flush=True)
     else:
         t0 = time.perf_counter()
-        build(spark, out_dir, replicas)
-        print(f"# built {replicas}x replica at {out_dir} "
+        build(spark, out_dir, replicas, family)
+        print(f"# built {replicas}x {family} replica at {out_dir} "
               f"in {time.perf_counter() - t0:.1f}s", flush=True)
 
-    keys = [k for k in (keys_arg or HEAVY_KEYS) if k in plans.QUERIES]
+    default_keys = OLAP_KEYS if family == "olap" else HEAVY_KEYS
+    keys = [k for k in (keys_arg or default_keys) if k in plans.QUERIES]
     timings: dict[str, float] = {}
     for k in keys:
         fn = plans.QUERIES[k]
@@ -216,7 +315,7 @@ def main() -> int:
         "base_sf_dir": BASE_SF_DIR,
     }
     os.makedirs(os.path.join(REPO, "bench_out"), exist_ok=True)
-    tag = "_extra" if keys_arg else ""
+    tag = "_extra" if keys_arg else ("" if family == "docs" else f"_{family}")
     path = os.path.join(REPO, "bench_out", f"stress_sf{sf}{tag}.json")
     with open(path, "w") as fh:
         json.dump(rec, fh, indent=1, sort_keys=True)
