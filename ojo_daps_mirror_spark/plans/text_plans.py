@@ -417,8 +417,18 @@ def _jaccard_verify(
 
 # ---------------------------------------------------------------- C6
 
-SIM_BITS = 32
-SIM_BAND_BITS = 8  # 4 bands; pigeonhole covers hamming ≤ 3 exactly
+# 60 bits = the full md5-nibble budget of hash64 (hexdigest()[:15]);
+# stays POSITIVE in int64, so shiftright/shift-left band arithmetic is
+# sign-safe in both engines. Band width is the dedup scale knob: with
+# hamming<=3 the pigeonhole band count is fixed at 4, so per-band
+# bucket occupancy is n / 2^(bits/4) — the 8-bit bands of the original
+# 32-bit signature saturated at the 64x replica stress (n/256 docs per
+# bucket, candidate pairs ~ n^2/256, measured b~1.8); 15-bit bands
+# (32768 buckets/band) hold occupancy ~10 at 320k docs. A wider hash
+# (two halves like media_dedup_phash) is the next rung if a corpus
+# outgrows this; never narrow the bands.
+SIM_BITS = 60
+SIM_BAND_BITS = 15  # 4 bands; pigeonhole covers hamming ≤ 3 exactly
 SIM_HAM_MAX = 3
 
 
