@@ -11,14 +11,19 @@ scale_probe.py --from can fit as a 4th point.
 Replication must not change the WORKLOAD SHAPE, only its size:
 
 - documents: replica r keeps doc structure and length distribution but
-  maps text through a per-replica alphabet permutation
+  maps text through a per-replica alphabet AND digit permutation
   (``translate``). Within a replica the planted duplicate structure is
   preserved EXACTLY (translation is a bijection on characters, so
   equal substrings stay equal), while across replicas shingle overlap
-  is destroyed (every vowel/consonant swaps differently), so the
+  is destroyed (every letter and digit swaps differently), so the
   corpus dup RATE stays constant as R grows — naive replication would
   instead create R-way exact dups and blow candidate pairs up
   quadratically, measuring a different (adversarial) workload.
+  Rotating digits matters as much as letters: an early version left
+  digits fixed, so number-heavy grams survived translation, their
+  fingerprint document-frequency grew ∝ R, and sub-cap buckets in the
+  winnowing/simhash joins grew quadratically — a harness artifact
+  masquerading as an operator scale bug.
 - embeddings: replica r rotates the 64-dim vector by r coordinates.
   Rotation is orthogonal: within-replica cosine geometry is preserved
   exactly; across replicas the alignment decorrelates (for these
@@ -123,10 +128,23 @@ OLAP_KEYS = [
 ]
 
 
+def _shuffle(chars: str, r: int) -> str:
+    """Per-replica character permutation: md5-keyed sort keeps it a
+    deterministic bijection AND distinct for every replica index (a
+    plain Caesar shift repeats every len(chars) replicas — at 64
+    replicas that re-creates the cross-replica token leak for digits).
+    r=0 is the identity so replica 0 IS the original."""
+    import hashlib
+
+    if r == 0:
+        return chars
+    return "".join(
+        sorted(chars, key=lambda c: hashlib.md5(f"{r}:{c}".encode()).hexdigest())
+    )
+
+
 def _perm(r: int) -> str:
-    """Per-replica alphabet permutation: a simple affine shift keeps it
-    a bijection; r=0 is the identity so replica 0 IS the original."""
-    return ALPHA[r % 26:] + ALPHA[: r % 26]
+    return _shuffle(ALPHA, r)
 
 
 ID_SPAN = 10_000_000
@@ -197,12 +215,18 @@ def build(spark, out_dir: str, replicas: int, family: str = "docs") -> None:
 
     doc_parts = []
     for r in range(replicas):
+        digits = "0123456789"
+        dperm = _shuffle(digits, r)
         part = docs.select(
             (F.col("doc_id") + F.lit(r * id_span)).alias("doc_id"),
             F.translate(
-                F.translate("text", ALPHA, _perm(r)),
-                ALPHA.upper(),
-                _perm(r).upper(),
+                F.translate(
+                    F.translate("text", ALPHA, _perm(r)),
+                    ALPHA.upper(),
+                    _perm(r).upper(),
+                ),
+                digits,
+                dperm,
             ).alias("text"),
             "lang",
             "source",
