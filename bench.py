@@ -330,6 +330,12 @@ def main() -> None:
     spark = get_spark(app_name="ojo-bench")
 
     keys = [k for k in BENCH_KEYS if k in plans.QUERIES]
+    # Optional subset (comma-separated) for scoped smokes — the driver
+    # never sets this, so the recorded rounds always run the full set.
+    subset = os.environ.get("SPARK_GRAFT_BENCH_KEYS")
+    if subset:
+        wanted = [k.strip() for k in subset.split(",") if k.strip()]
+        keys = [k for k in wanted if k in plans.QUERIES]
     # Warm the JVM + parquet footers once with the cheapest query.
     plans.QUERIES[keys[0]](spark, SF_DIR).count()
 

@@ -28,8 +28,12 @@ to the corpus (the suffix-array build is the expensive step; its
 output is reused by every downstream dedup/boilerplate pass), and at
 local scale costs one ~seconds write. Set
 ``SPARK_GRAFT_SUFFIX_CACHE_DIR`` to place it (a lake path on a real
-cluster); default is a per-application directory under the system
-temp dir, removed by ``clear_cache``.
+cluster; stages there are reused read-if-exists across sessions,
+published via atomic rename, and left for the operator to GC);
+default is a per-application directory under the system temp dir,
+removed by ``clear_cache`` — registered via ``atexit`` so normal
+process exit reaps it, with a mtime-TTL sweep of orphaned
+``ojo_suffix_*`` dirs from crashed processes at first stage write.
 
 **The scale knob — content-defined suffix sampling.** Exact mode
 explodes EVERY position: the sort input is ~×cap the corpus bytes
@@ -53,10 +57,12 @@ tests/test_suffix_sampled.py. Oracle parity holds only at stride 1
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -66,6 +72,39 @@ from .rank import attach_prev
 
 _CACHE: dict[tuple[str, str, int, int], DataFrame] = {}
 _DIRS: set[str] = set()
+
+# Stale per-app stage dirs from crashed/killed processes (clear_cache
+# never ran) are reaped on this process's first stage write: anything
+# matching ojo_suffix_* in the temp dir and untouched for this long is
+# assumed orphaned. Live sessions touch their stage at write time, so
+# only genuinely dead apps' debris crosses the threshold.
+_STALE_TTL_SECS = 6 * 3600
+_swept = False
+
+
+def _sweep_stale() -> None:
+    """Remove ojo_suffix_* temp dirs whose owning app is long gone."""
+    global _swept
+    if _swept:
+        return
+    _swept = True
+    root = tempfile.gettempdir()
+    cutoff = time.time() - _STALE_TTL_SECS
+    try:
+        entries = os.listdir(root)
+    except OSError:  # pragma: no cover - unreadable tempdir
+        return
+    for name in entries:
+        if not name.startswith("ojo_suffix_"):
+            continue
+        path = os.path.join(root, name)
+        if path in _DIRS or any(d.startswith(path) for d in _DIRS):
+            continue
+        try:
+            if os.path.getmtime(path) < cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:  # pragma: no cover - raced with another reaper
+            pass
 
 
 def _stage_path(app_id: str, sf_dir: str, cap: int, stride: int) -> str:
@@ -134,9 +173,30 @@ def adjacent_suffixes(
         ["suf", "doc_id", "p"],
         {"pd": "doc_id", "pp": "p", "pn": "n", "ps": "suf"},
     )
+    _sweep_stale()
     path = _stage_path(key[0], sf_dir, cap, stride)
-    ordered.write.mode("overwrite").parquet(path)
-    _DIRS.add(path)
+    shared = bool(os.environ.get("SPARK_GRAFT_SUFFIX_CACHE_DIR"))
+    if shared and os.path.exists(os.path.join(path, "_SUCCESS")):
+        # Another session (or a prior run of this one) already built the
+        # identical (sf_dir, cap, stride) stage on the shared dir:
+        # read-if-exists instead of overwrite, so concurrent sessions
+        # never delete files out from under each other's readers.
+        pass
+    elif shared:
+        # Concurrency-safe publish: write under a per-app temp name,
+        # then atomically rename into place; the rename loser discards
+        # its copy and reads the winner's.
+        tmp = f"{path}.__tmp_{key[0]}"
+        ordered.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+        # Shared-dir stages are the operator's to garbage-collect
+        # (lake-resident artifact) — never added to _DIRS.
+    else:
+        ordered.write.mode("overwrite").parquet(path)
+        _DIRS.add(path)
     # Best of both tiers: the parquet file is the un-evictable floor
     # (a 273-query bench's shuffle traffic pushes the stage out of the
     # OS page cache, making every later consumer pay a real disk read),
@@ -176,3 +236,14 @@ def clear_cache(spark: SparkSession | None = None) -> None:
         if app is None or f"ojo_suffix_{app}" in path:
             shutil.rmtree(path, ignore_errors=True)
             _DIRS.discard(path)
+            parent = os.path.dirname(path)
+            if os.path.basename(parent).startswith("ojo_suffix_"):
+                try:  # remove the per-app base dir once it empties
+                    os.rmdir(parent)
+                except OSError:
+                    pass
+
+
+# Normal process exit reaps this process's stage dirs even when no
+# teardown fixture ran (bench.py, ad-hoc scripts, the driver harness).
+atexit.register(clear_cache)

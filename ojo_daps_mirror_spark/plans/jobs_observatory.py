@@ -14,6 +14,7 @@ from ..functions.rounding import round_eps
 from ..functions.salaries import ORACLE_SALARY_CTE, annualise
 from ..operators.snapshot import oracle_weekly_stock_sql, weekly_stock
 from ..sources import load_table
+from .. import scale_mode as sm
 from . import register
 
 # ---------------------------------------------------------------- A1/A2
@@ -116,7 +117,9 @@ def weekly_salary_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     (aggregate/common.py:iterquantiles, weekly_salary_spread.py).
 
     Exact `percentile` matches DuckDB's quantile_cont for oracle parity;
-    at 100 TB swap to approx_percentile (sketch-mergeable, one pass).
+    at 100 TB swap to approx_percentile (sketch-mergeable, one pass) —
+    executable via SPARK_GRAFT_SCALE_MODE=approx (scale_mode.py,
+    tolerance-tested in tests/test_scale_mode.py).
     """
     events = load_table(spark, sf_dir, "events")
     sal = annualise(events).withColumn(
@@ -127,8 +130,8 @@ def weekly_salary_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (column, quantile) — 2 sort-based aggregates instead of 6.
     qs = F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
     agg = sal.groupBy("week").agg(
-        F.percentile(F.col("min_annualised_salary"), qs).alias("min_q"),
-        F.percentile(F.col("max_annualised_salary"), qs).alias("max_q"),
+        sm.percentile(F.col("min_annualised_salary"), qs).alias("min_q"),
+        sm.percentile(F.col("max_annualised_salary"), qs).alias("max_q"),
         F.count(F.lit(1)).alias("n_salaries"),
     )
 
@@ -287,18 +290,20 @@ ORDER BY skill_group
 @register("skill_salary_spread", oracle=_A8_ORACLE)
 def skill_salary_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salary-spread quartiles per skill group
-    (skill_salary_spread_snapshot.py), in £000."""
+    (skill_salary_spread_snapshot.py), in £000. Same percentile family
+    as A4: exact for oracle parity, approx_percentile under
+    SPARK_GRAFT_SCALE_MODE=approx."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy(F.col("o_orderpriority").alias("skill_group"))
         .agg(
-            round_eps(F.percentile("o_totalprice", F.lit(0.25)) / 1000, 4).alias(
+            round_eps(sm.percentile("o_totalprice", 0.25) / 1000, 4).alias(
                 "lower_q"
             ),
-            round_eps(F.percentile("o_totalprice", F.lit(0.50)) / 1000, 4).alias(
+            round_eps(sm.percentile("o_totalprice", 0.50) / 1000, 4).alias(
                 "median"
             ),
-            round_eps(F.percentile("o_totalprice", F.lit(0.75)) / 1000, 4).alias(
+            round_eps(sm.percentile("o_totalprice", 0.75) / 1000, 4).alias(
                 "upper_q"
             ),
             F.count(F.lit(1)).alias("n_ads"),

@@ -15,6 +15,7 @@ from ..functions.rounding import round_eps, sql_round
 from ..functions.text import sql_tokens, tokens
 from ..operators.attach import scalars
 from ..sources import load_table
+from .. import scale_mode as sm
 from . import register
 
 # ---------------------------------------------------------------- C58
@@ -398,7 +399,8 @@ def rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined aggregate; the horizon attaches as a broadcast
     scalar; the three NTILEs are global windows over user-grain rows —
     at 100 TB swap for approx_percentile cut-points broadcast onto a
-    map-side CASE (same documented switch as C43). Feature-store
+    map-side CASE (same documented switch as C43) — executable via
+    SPARK_GRAFT_SCALE_MODE=approx (scale_mode.bucket_by_cuts). Feature-store
     ready: deterministic, point-in-time safe (horizon-relative).
     """
     events = load_table(spark, sf_dir, "events")
@@ -423,6 +425,25 @@ def rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
+    if sm.is_approx():
+        # quintile boundaries from three sketch aggregates, bucket
+        # assignment map-side — no global-order windows
+        out = sm.bucket_by_cuts(rfm, "recency_days", RFM_BINS, "r_score")
+        out = sm.bucket_by_cuts(
+            out, "frequency", RFM_BINS, "f_score", descending=True
+        )
+        out = sm.bucket_by_cuts(
+            out, "monetary", RFM_BINS, "m_score", descending=True
+        )
+        return out.select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary",
+            "r_score",
+            "f_score",
+            "m_score",
+        ).orderBy("user_id")
     return rfm.select(
         "user_id",
         "recency_days",

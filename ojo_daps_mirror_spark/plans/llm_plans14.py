@@ -18,6 +18,7 @@ from ..functions.vectors import sql_cosine
 from ..operators.attach import scalars
 from ..sources import load_table
 from .vector_plans import QUERY_PANEL_K, query_panel
+from .. import scale_mode as sm
 from . import register
 
 # ---------------------------------------------------------------- B51
@@ -329,13 +330,14 @@ def chars_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pure scalar expression, and the corpus reduces to 4 rows in one
     map-side-combined aggregate. At 100 TB swap the exact percentile
     for approx_percentile — the KLL-style sketch is mergeable and the
-    cut points shift within epsilon.
+    cut points shift within epsilon. Executable via
+    SPARK_GRAFT_SCALE_MODE=approx (scale_mode.py).
     """
     docs = load_table(spark, sf_dir, "documents").select("n_chars")
     cuts = docs.agg(
-        F.percentile("n_chars", F.lit(0.25)).alias("q1"),
-        F.percentile("n_chars", F.lit(0.50)).alias("q2"),
-        F.percentile("n_chars", F.lit(0.75)).alias("q3"),
+        sm.percentile("n_chars", 0.25).alias("q1"),
+        sm.percentile("n_chars", 0.50).alias("q2"),
+        sm.percentile("n_chars", 0.75).alias("q3"),
     )
     bucket = (
         (F.col("n_chars") > F.col("q1")).cast("int")

@@ -14,6 +14,7 @@ from pyspark.sql.window import Window
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import sql_shingles, sql_tokens
 from ..sources import load_table
+from .. import scale_mode as sm
 from . import register
 from .llm_plans11 import prefix_filter_pairs
 from .text_plans import JACCARD_THRESHOLD, MH_SHINGLE_K, _C5_ORACLE
@@ -130,7 +131,8 @@ def data_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined count aggregate produces the value-grain table, and every
     statistic derives from that (≪ fact-sized) frame. At 100 TB the
     exact distinct swaps per column to approx_count_distinct — the
-    unpivot shape is unchanged.
+    unpivot shape is unchanged. Executable via
+    SPARK_GRAFT_SCALE_MODE=approx (scale_mode.py).
     """
     orders = load_table(spark, sf_dir, "orders")
     stack_expr = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in _PROFILE_COLS)
@@ -147,6 +149,16 @@ def data_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_null"),
         F.count(F.when(F.col("v").isNotNull(), F.lit(1))).alias("n_distinct"),
     )
+    if sm.is_approx():
+        # HLL++ per column straight off the unpivot stream — the
+        # value-grain counts frame is still needed for the mode pick,
+        # but the distinct no longer rides its exact cardinality
+        dis = (
+            vals.where(F.col("v").isNotNull())
+            .groupBy("c")
+            .agg(sm.count_distinct("v").alias("n_distinct"))
+        )
+        agg = agg.drop("n_distinct").join(F.broadcast(dis), "c")
     w = Window.partitionBy("c").orderBy(F.desc("n"), F.asc("v"))
     top = (
         counts.where(F.col("v").isNotNull())
@@ -204,7 +216,8 @@ def robust_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     Segment stats are one exact-percentile aggregate to a |segments|-row
     frame, broadcast back onto a second scan for the outlier count —
     the same two-pass broadcast-cuts shape as C71 (approx_percentile is
-    the documented 100 TB swap for the first pass).
+    the documented 100 TB swap for the first pass — executable via
+    SPARK_GRAFT_SCALE_MODE=approx, scale_mode.py).
     """
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
@@ -212,8 +225,8 @@ def robust_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
     ).select(F.col("o_totalprice").alias("x"), F.col("c_mktsegment").alias("seg"))
     stats = geo.groupBy("seg").agg(
-        F.percentile("x", F.lit(0.5)).alias("med"),
-        (F.percentile("x", F.lit(0.75)) - F.percentile("x", F.lit(0.25))).alias(
+        sm.percentile("x", 0.5).alias("med"),
+        (sm.percentile("x", 0.75) - sm.percentile("x", 0.25)).alias(
             "iqr"
         ),
     )

@@ -14,6 +14,7 @@ from ..functions.rounding import round_eps, sql_round
 from ..functions.text import hash64, sql_hash64
 from ..operators.snapshot import monday_of
 from ..sources import load_table
+from .. import scale_mode as sm
 from . import register
 
 # ---------------------------------------------------------------- B60
@@ -147,7 +148,8 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel. Users collapse to (first_click, first_buy) in ONE
     conditional-MIN aggregate; the percentile battery is a second
     1-row aggregate over the converted subset (approx_percentile is
-    the documented 100 TB swap).
+    the documented 100 TB swap — executable via
+    SPARK_GRAFT_SCALE_MODE=approx, scale_mode.py).
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     firsts = ev.groupBy("user_id").agg(
@@ -161,10 +163,10 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return lat.agg(
         F.count(F.lit(1)).alias("n_converted"),
-        round_eps(F.percentile("hours", F.lit(0.25)), 4).alias("p25_hours"),
-        round_eps(F.percentile("hours", F.lit(0.50)), 4).alias("p50_hours"),
-        round_eps(F.percentile("hours", F.lit(0.75)), 4).alias("p75_hours"),
-        round_eps(F.percentile("hours", F.lit(0.95)), 4).alias("p95_hours"),
+        round_eps(sm.percentile("hours", 0.25), 4).alias("p25_hours"),
+        round_eps(sm.percentile("hours", 0.50), 4).alias("p50_hours"),
+        round_eps(sm.percentile("hours", 0.75), 4).alias("p75_hours"),
+        round_eps(sm.percentile("hours", 0.95), 4).alias("p95_hours"),
     )
 
 

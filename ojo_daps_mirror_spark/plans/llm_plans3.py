@@ -23,6 +23,7 @@ from ..functions.text import (
     tokens,
 )
 from ..sources import load_table
+from .. import scale_mode as sm
 from . import register
 
 # ---------------------------------------------------------------- C31
@@ -255,7 +256,8 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean combine map-side. The exact median is the oracle-parity
     choice at test SFs — at 100 TB swap `percentile` for
     `approx_percentile` (mergeable sketch, no per-group sort buffer),
-    the same documented switch as weekly_salary_spread / A37.
+    the same documented switch as weekly_salary_spread / A37 —
+    executable via SPARK_GRAFT_SCALE_MODE=approx (scale_mode.py).
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "source", "lang", "n_chars", "text"
@@ -270,7 +272,7 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_eps(F.avg("n_chars"), 4).alias("mean_chars"),
             F.count_distinct("lang").alias("n_langs"),
             round_eps(
-                F.percentile(F.col("n_chars"), F.lit(0.5)), 4
+                sm.percentile(F.col("n_chars"), 0.5), 4
             ).alias("median_chars"),
         )
         .orderBy("source")

@@ -15,6 +15,7 @@ from ..functions.rounding import round_eps, sql_round
 from ..functions.text import hash64, sql_hash64
 from ..operators.attach import scalars
 from ..sources import load_table
+from .. import scale_mode as sm
 from . import register
 
 # ---------------------------------------------------------------- B63
@@ -137,7 +138,9 @@ def lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     NTILE needs a total order; at test SFs that is one sort of the
     user-grain frame. At 100 TB the decile boundaries come from
     approx quantiles of the score and bucketing becomes a map
-    expression — the same swap documented for weekly_salary_spread.
+    expression (executable via SPARK_GRAFT_SCALE_MODE=approx,
+    scale_mode.bucket_by_cuts) — the same swap documented for
+    weekly_salary_spread.
     The decile frame itself is {LIFT_DECILES} rows, so the cumulative
     window is trivially single-partition.
     """
@@ -150,12 +153,19 @@ def lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max((F.col("event_type") == "purchase").cast("int")).alias("converted"))
         .select("user_id", score.alias("score"), "converted")
     )
-    ranked = users.select(
-        "converted",
-        F.ntile(LIFT_DECILES)
-        .over(Window.orderBy(F.col("score").desc(), F.col("user_id")))
-        .alias("decile"),
-    )
+    if sm.is_approx():
+        # decile boundaries from one percentile_approx sketch, bucket
+        # assignment map-side — no global sort
+        ranked = sm.bucket_by_cuts(
+            users, "score", LIFT_DECILES, "decile", descending=True
+        ).select("converted", "decile")
+    else:
+        ranked = users.select(
+            "converted",
+            F.ntile(LIFT_DECILES)
+            .over(Window.orderBy(F.col("score").desc(), F.col("user_id")))
+            .alias("decile"),
+        )
     per = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("converted").cast("bigint").alias("conversions"),
@@ -215,14 +225,15 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two grouped exact-percentile aggregates (group count is tiny: one
     row per event type) with the per-group medians broadcast back
     onto the fact — the fact scans twice but never shuffles at fact
-    grain. At 100 TB both medians swap to approx_percentile and the
-    second scan folds into the first via a two-pass-free sketch;
-    exact percentile is kept here for oracle parity, as documented
-    for weekly_salary_spread.
+    grain. At 100 TB both medians swap to approx_percentile (executable
+    via SPARK_GRAFT_SCALE_MODE=approx, scale_mode.py) and the second
+    scan folds into the first via a two-pass-free sketch; exact
+    percentile is the default for oracle parity, as documented for
+    weekly_salary_spread.
     """
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
+        sm.percentile("value", 0.5).alias("med")
     )
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type",
@@ -231,7 +242,7 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("value") - F.col("med")).alias("adev"),
     )
     mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(adev, 0.5)").alias("mad")
+        sm.percentile("adev", 0.5).alias("mad")
     )
     return (
         dev.join(F.broadcast(mad), "event_type")

@@ -15,6 +15,7 @@ from ..functions.rounding import round_eps, sql_round
 from ..functions.text import sql_tokens, tokens
 from ..operators.attach import scalars
 from ..sources import load_table
+from .. import scale_mode as sm
 from . import register
 
 # ---------------------------------------------------------------- B66
@@ -147,7 +148,8 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB since the LM is vocabulary-grain). Per-doc CE rounds to
     6 dp BEFORE the tercile cut on both engines, so cutoff
     comparisons see identical doubles. Exact percentile cutoffs for
-    oracle parity; approx_percentile is the documented 100 TB swap.
+    oracle parity; approx_percentile is the documented 100 TB swap —
+    executable via SPARK_GRAFT_SCALE_MODE=approx (scale_mode.py).
     """
     toks = (
         load_table(spark, sf_dir, "documents")
@@ -166,8 +168,8 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cuts = ce.agg(
-        F.expr(f"percentile(ce, {CCNET_T1!r})").alias("c1"),
-        F.expr(f"percentile(ce, {CCNET_T2!r})").alias("c2"),
+        sm.percentile("ce", CCNET_T1).alias("c1"),
+        sm.percentile("ce", CCNET_T2).alias("c2"),
     )
     bucket = (
         F.when(F.col("ce") <= F.col("c1"), "head")

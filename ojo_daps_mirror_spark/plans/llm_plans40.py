@@ -15,6 +15,7 @@ from ..functions.rounding import round_eps, sql_round
 from ..functions.text import hash64, sql_hash64
 from ..operators.snapshot import monday_of
 from ..sources import load_table
+from .. import scale_mode as sm
 from . import register
 
 # ---------------------------------------------------------------- B82
@@ -164,7 +165,8 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (B65 MAD flags outliers, C77 rescales; this summarises).
 
     Scale shape: exact grouped percentiles in one aggregate
-    (approx_percentile is the drop-in at 100 TB), the \\|groups\\|-row
+    (approx_percentile is the drop-in at 100 TB — executable via
+    SPARK_GRAFT_SCALE_MODE=approx, scale_mode.py), the \\|groups\\|-row
     cut frame broadcast back onto the fact, clamp pure codegen.
     Thresholds are rounded to 4 dp in BOTH engines before the clamp
     and clamped values quantised to integer 1e-4 units, so group sums
@@ -175,8 +177,8 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
     cuts = base.groupBy("grp").agg(
-        F.round(F.expr(f"percentile(cents, {WINSOR_LO})") + 1e-9, 4).alias("lo"),
-        F.round(F.expr(f"percentile(cents, {WINSOR_HI})") + 1e-9, 4).alias("hi"),
+        F.round(sm.percentile("cents", WINSOR_LO) + 1e-9, 4).alias("lo"),
+        F.round(sm.percentile("cents", WINSOR_HI) + 1e-9, 4).alias("hi"),
     )
     clamped = base.join(F.broadcast(cuts), "grp").select(
         "grp",

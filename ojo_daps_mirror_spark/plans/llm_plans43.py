@@ -13,6 +13,7 @@ from pyspark.sql.window import Window
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import hash64, sql_hash64
 from ..sources import load_table
+from .. import scale_mode as sm
 from . import register
 
 # ---------------------------------------------------------------- B88
@@ -207,7 +208,8 @@ def dwell_time_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one LEAD window partitioned by user (distributes on
     the user key), then a type-grain aggregate; gaps in exact integer
     micros, mean via integer sums, median an exact grouped percentile
-    (approx_percentile at 100 TB).
+    (approx_percentile at 100 TB — executable via
+    SPARK_GRAFT_SCALE_MODE=approx, scale_mode.py).
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = load_table(spark, sf_dir, "events").select(
@@ -228,7 +230,7 @@ def dwell_time_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mean_dwell_s"
             ),
             round_eps(
-                F.round(F.expr("percentile(gap_us, 0.5)") + 1e-9, 4) / 1e6, 6
+                F.round(sm.percentile("gap_us", 0.5) + 1e-9, 4) / 1e6, 6
             ).alias("median_dwell_s"),
         )
         .orderBy("event_type")

@@ -24,6 +24,7 @@ from ..functions.text import (
 from ..operators.attach import attach_scalars
 from ..operators.rank import global_order_stats
 from ..sources import load_table
+from .. import scale_mode as sm
 from . import register
 
 # ---------------------------------------------------------------- C42
@@ -155,7 +156,8 @@ def quality_percentile_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one window (single-reducer sort). The 100 TB swap — documented,
     same as A37/C34 — is approx_percentile over each signal to build a
     ~1000-cut broadcast CDF and map each row to its bucket rank
-    map-side: no global sort, rank error ≤ 1/cuts. The window form is
+    map-side: no global sort, rank error ≤ 1/cuts. Executable via
+    SPARK_GRAFT_SCALE_MODE=approx (scale_mode.attach_cdf_ranks). The window form is
     the oracle-parity choice; ties are broken by doc_id so the rank is
     deterministic in both engines.
     """
@@ -172,6 +174,28 @@ def quality_percentile_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # global ranks (the tiebroken order is total, so rank ==
     # row_number) — no unpartitioned windows over doc grain
     # (operators/rank.py).
+    if sm.is_approx():
+        # broadcast-CDF ranks: both signals' cut arrays come from ONE
+        # 1-row sketch aggregate; ranking is map-side, no global sort
+        ranked = sm.attach_cdf_ranks(
+            sig, {"n_tokens": "pr_len", "stop_ratio_raw": "pr_stop"}
+        ).select(
+            "doc_id",
+            "n_tokens",
+            round_eps(F.col("stop_ratio_raw"), 6).alias("stop_ratio"),
+            "pr_len",
+            "pr_stop",
+        )
+        return ranked.select(
+            "doc_id",
+            "n_tokens",
+            "stop_ratio",
+            round_eps(
+                BLEND_W_LEN * F.col("pr_len")
+                + BLEND_W_STOP * F.col("pr_stop"),
+                6,
+            ).alias("quality_blend"),
+        ).orderBy("doc_id")
     n_tot = sig.agg(F.count(F.lit(1)).cast("bigint").alias("n_tot"))
     ranked = attach_scalars(
         global_order_stats(

@@ -17,6 +17,7 @@ from ..functions.rounding import round_eps, sql_round
 from ..functions.text import sql_tokens, tokens
 from ..operators.attach import scalars
 from ..sources import load_table
+from .. import scale_mode as sm
 from . import register
 from .llm_plans3 import PACK_BUCKETS, PACK_CAP
 
@@ -62,7 +63,8 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the same shuffle the real join would pay, minus the other side),
     then a scalar profile over each key-count table; the report is
     |keys_profiled| rows. The exact p99 swaps to approx_percentile at
-    100 TB.
+    100 TB — executable via SPARK_GRAFT_SCALE_MODE=approx
+    (scale_mode.py).
     """
     outs = []
     for table, key in SKEW_KEYS:
@@ -82,7 +84,7 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 round_eps(
                     F.max("c") * F.count(F.lit(1)) * 1.0 / F.sum("c"), 4
                 ).alias("skew_ratio"),
-                F.round(F.expr("percentile(c, 0.99)") + 1e-9)
+                F.round(sm.percentile("c", 0.99) + 1e-9)
                 .cast("bigint")
                 .alias("p99_cnt"),
             ).select(F.lit(f"{table}.{key}").alias("join_key"), "*")

@@ -20,6 +20,7 @@ from ..functions.rounding import round_eps, sql_round
 from ..functions.text import hash64, sql_hash64
 from ..operators.attach import scalars
 from ..sources import load_table
+from .. import scale_mode as sm
 from . import register
 
 # ---------------------------------------------------------------- B117
@@ -68,7 +69,8 @@ def hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the O(|weeks|²) Walsh-average expansion and exact
     median are dimension-scale (pair sums stay integer — the /2
     happens once at the end). At daily/user grain you'd swap the
-    exact median for approx_percentile over the same pair stream.
+    exact median for approx_percentile over the same pair stream —
+    executable via SPARK_GRAFT_SCALE_MODE=approx (scale_mode.py).
     """
     weekly = (
         load_table(spark, sf_dir, "orders")
@@ -83,11 +85,11 @@ def hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = pairs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        (F.percentile("s2", F.lit(0.5)) / 2.0).alias("hl"),
+        (sm.percentile("s2", 0.5) / 2.0).alias("hl"),
     )
     plain = weekly.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_weeks"),
-        F.percentile("vol", F.lit(0.5)).alias("med"),
+        sm.percentile("vol", 0.5).alias("med"),
         F.avg("vol").alias("mn"),
     )
     return stats.transform(scalars(plain)).select(

@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 from ..functions.rounding import round_eps, sql_round
 from ..operators.attach import scalars
 from ..sources import load_table
+from .. import scale_mode as sm
 from . import register
 
 # ---------------------------------------------------------------- B122
@@ -285,7 +286,8 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse to a single array row that broadcasts, and bucket
     assignment is a map-side array count — no per-row join. At 100 TB
     swap the exact window for approx_percentile boundaries; the audit
-    frame is identical.
+    frame is identical. Executable via SPARK_GRAFT_SCALE_MODE=approx
+    (scale_mode.py).
     """
     vals = load_table(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100 + 1e-9)
@@ -293,6 +295,35 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
         "o_orderkey",
     )
+    if sm.is_approx():
+        # boundaries from ONE percentile_approx sketch over the scan —
+        # no rank window, no total sort; the audit shape is unchanged
+        qs = [i / RP_BUCKETS for i in range(1, RP_BUCKETS)]
+        bounds = vals.agg(
+            F.percentile_approx(
+                "cents", F.lit(qs), F.lit(sm.APPROX_PERCENTILE_ACCURACY)
+            ).alias("bnds"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        bucketed = vals.transform(scalars(bounds)).select(
+            "cents",
+            "n",
+            F.size(
+                F.filter(F.col("bnds"), lambda x: x <= F.col("cents"))
+            ).alias("bucket"),
+        )
+        return (
+            bucketed.groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                round_eps(F.min("cents") / 100.0, 2).alias("min_price"),
+                round_eps(F.max("cents") / 100.0, 2).alias("max_price"),
+                round_eps(
+                    F.count(F.lit(1)) * float(RP_BUCKETS) / F.max("n"), 4
+                ).alias("balance_ratio"),
+            )
+            .orderBy("bucket")
+        )
     w = Window.orderBy("cents", "o_orderkey")
     ranked = vals.select(
         "cents",

@@ -262,6 +262,37 @@ def streaming_unconverted_clicks_q(spark: SparkSession, sf_dir: str) -> DataFram
 
 # ---------------------------------------------------------------- C229
 
+_STREAM_MH_DIRS: set[str] = set()
+
+
+def _stream_mh_work_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic per-(application, sf_dir) work dir for the C229
+    drain, like operators/suffix.py's stage dirs (ADVICE r4: the old
+    mkdtemp-per-invocation leaked a full landing+index+matches+ckpt
+    tree every bench pass). A repeat invocation wipes and rebuilds the
+    ONE dir (the file-source checkpoint binds to specific part-file
+    names, so a stale checkpoint over rewritten landing files would
+    re-emit matches into fresh batch dirs); atexit reaps the last."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    app = spark.sparkContext.applicationId
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    work = os.path.join(tempfile.gettempdir(), f"ojo_stream_mh_{app}_{tag}")
+    shutil.rmtree(work, ignore_errors=True)
+    if not _STREAM_MH_DIRS:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(d, ignore_errors=True)
+                for d in list(_STREAM_MH_DIRS)
+            ]
+        )
+    _STREAM_MH_DIRS.add(work)
+    return work
+
 
 def _c229_oracle() -> str:
     from .llm_plans6 import _C47_ORACLE
@@ -280,9 +311,7 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the signature store lives in the lake, stream state is only the
     source offsets. Draining the same new-arrival subset must equal the
     batch op — the oracle is C47's, verbatim."""
-    import tempfile
-
-    work = tempfile.mkdtemp(prefix="ojo_stream_mh_")
+    work = _stream_mh_work_dir(spark, sf_dir)
     landing = f"{work}/landing"
     index = f"{work}/index"
     out = f"{work}/matches"

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ..operators.asof import asof_join
 from ..operators.attach import scalars
 from ..sources import load_table
+from .. import scale_mode as sm
 from . import register
 
 # ---------------------------------------------------------------- B40
@@ -372,6 +373,9 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles over (user, day)-grain rows — never the raw event stream.
     At 100 TB swap the exact distinct for approx_count_distinct per
     target day (mergeable HLL) — same shape, sketch-sized state.
+    Executable via SPARK_GRAFT_SCALE_MODE=approx (scale_mode.py): the
+    second distinct drops and each target day counts its users with
+    one HLL sketch.
     """
     events = load_table(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("day")
@@ -383,12 +387,26 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.sequence(F.col("day"), F.date_add(F.col("day"), ROLLING_DAYS - 1))
         ).alias("target"),
-    ).distinct()
+    )
+    if sm.is_approx():
+        # HLL per target day replaces the (user, target) distinct +
+        # count — the sketch absorbs duplicate contributions
+        counted = (
+            contrib.transform(scalars(bounds))
+            .where(F.col("target").between(F.col("lo"), F.col("hi")))
+            .groupBy("target")
+            .agg(sm.count_distinct("user_id").alias("rolling_users"))
+        )
+    else:
+        counted = (
+            contrib.distinct()
+            .transform(scalars(bounds))
+            .where(F.col("target").between(F.col("lo"), F.col("hi")))
+            .groupBy("target")
+            .agg(F.count(F.lit(1)).alias("rolling_users"))
+        )
     return (
-        contrib.transform(scalars(bounds))
-        .where(F.col("target").between(F.col("lo"), F.col("hi")))
-        .groupBy("target")
-        .agg(F.count(F.lit(1)).alias("rolling_users"))
+        counted
         .select(
             F.date_format("target", "yyyy-MM-dd").alias("day"), "rolling_users"
         )

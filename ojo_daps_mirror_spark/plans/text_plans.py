@@ -477,15 +477,19 @@ ORDER BY id_a, id_b
 
 @register("dedup_simhash", oracle=_C6_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Term-frequency-weighted SimHash near-dup detection (32-bit).
+    """Term-frequency-weighted SimHash near-dup detection
+    (``SIM_BITS`` = 60-bit signatures).
 
     TF weights matter: this corpus draws from a ~30-word vocabulary, so
     token *sets* are corpus-wide identical and an unweighted simhash
     degenerates to "everything matches everything". Weighted by counts,
     signatures track the docs' frequency profiles and only true
-    near-copies land within hamming ≤ 3. Candidates share one 8-bit
-    band (pigeonhole over 4 bands guarantees recall at hamming ≤ 3);
-    verify by exact Hamming distance.
+    near-copies land within hamming ≤ 3. Candidates share one
+    ``SIM_BAND_BITS`` = 15-bit band (pigeonhole over 4 bands guarantees
+    recall at hamming ≤ 3); verify by exact Hamming distance. The wide
+    bands are the 64x-stress fix: 8-bit bands saturate at replica scale
+    (2^8 buckets for 10^6 docs → quadratic candidate blowup), 15-bit
+    bands keep bucket occupancy bounded.
     """
     import hashlib
     from collections import Counter

@@ -93,7 +93,18 @@ def run_bench(sf: str) -> dict:
 
 
 def fit_query(ts: list[float], xs: list[float]) -> dict:
-    """Fit t = c + a*x^b (c,a >= 0) by grid search over b."""
+    """Fit t = c + a*x^b (c,a >= 0) by grid search over b.
+
+    Requires >= 3 points: the mid-SF grade reads x[-2]/t[-2], which
+    with one point aliases the only run (or IndexErrors on none) and
+    with two silently grades the minimum SF as the middle one
+    (ADVICE r4)."""
+    if len(ts) < 3 or len(xs) < 3:
+        raise ValueError(
+            f"fit_query needs >= 3 runs to grade (got {len(ts)}); "
+            "pass at least three --from records or let the probe run "
+            "all DEFAULT_SFS"
+        )
     t = np.asarray(ts, dtype=float)
     x = np.asarray(xs, dtype=float)
     best = None
@@ -158,6 +169,13 @@ def main() -> int:
             return 2
     if from_files:
         runs = [json.load(open(f)) for f in from_files]
+        if len(runs) < 3:
+            print(
+                f"need >= 3 --from records to fit exponents, got "
+                f"{len(runs)}",
+                file=sys.stderr,
+            )
+            return 2
     else:
         runs = [run_bench(sf) for sf in DEFAULT_SFS]
     runs.sort(key=lambda r: float(r["sf"]))

@@ -14,6 +14,11 @@ def spark():
 
     spark = get_spark(app_name="ojo-tests", shuffle_partitions=8)
     yield spark
+    # Reap the materialized suffix-sort stage dirs this session wrote
+    # (ADVICE r4: clear_cache must be wired into session teardown).
+    from ojo_daps_mirror_spark.operators.suffix import clear_cache
+
+    clear_cache(spark)
 
 
 @pytest.fixture(scope="session")
