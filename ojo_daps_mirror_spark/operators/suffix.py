@@ -39,7 +39,13 @@ process exit reaps it, with a mtime-TTL sweep of orphaned
 explodes EVERY position: the sort input is ~×cap the corpus bytes
 (≈5 PB of shuffle at 100 TB), which is what ExactSubstr costs without
 a compressed suffix-array build. For corpus scales where that is not
-worth it, set ``SPARK_GRAFT_SUFFIX_STRIDE=s`` (or pass ``stride=s``):
+worth it, the stride departs from 1. The default is now AUTO-PICKED
+from estimated sort volume (``auto_stride``: corpus bytes × cap vs
+the empirically calibrated exact-mode budget — the 64x stress showed
+thrash is predictable from that estimate, so it is predicted instead
+of hit; at every local SF the estimate fits and the default stays the
+exact, oracle-parity stride 1). To force a value, set
+``SPARK_GRAFT_SUFFIX_STRIDE=s`` (or pass ``stride=s``):
 only positions whose ``ANCHOR_W``-char content window hashes to
 ``0 mod s`` are exploded, cutting sort input ~s×. Anchors are
 CONTENT-defined (the winnowing/CDC idea), so both copies of a
@@ -117,9 +123,80 @@ def _stage_path(app_id: str, sf_dir: str, cap: int, stride: int) -> str:
 ANCHOR_W = 8  # content-anchor window (chars) for the sampled mode
 
 
-def resolved_stride(stride: int | None = None) -> int:
+# Exact-mode external-sort budget, empirically calibrated by the 64x
+# stress record (SURVEY §6.4): the 16x replica corpus (~1.1 GB
+# estimated sort input at cap 48) exact-sorts fine on this 128 GiB /
+# 32-thread box, the 64x one (~4.6 GB) thrashes the external sort.
+# 2 GB splits the measured wall; override with
+# SPARK_GRAFT_SUFFIX_EXACT_BUDGET (bytes) for other hardware.
+EXACT_SORT_BUDGET_BYTES = 2_000_000_000
+# documents.parquet compresses the synthetic text ~2.5x; the estimate
+# only needs to be monotone in corpus volume and right within ~2x,
+# since stride rounds up to a power of two anyway.
+_COMPRESSION_RATIO = 2.5
+
+
+def _estimate_sort_bytes(sf_dir: str, cap: int) -> int:
+    """Estimated exact-mode sort input: every text char explodes to a
+    ~cap-byte suffix row, and corpus chars ≈ compressed parquet bytes
+    × ratio. Pure file-metadata arithmetic — no Spark job. On a lake
+    deployment the same estimate comes from table stats."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    size = 0
+    if os.path.isdir(path):
+        for root, _, files in os.walk(path):
+            size += sum(
+                os.path.getsize(os.path.join(root, f)) for f in files
+            )
+    elif os.path.exists(path):
+        size = os.path.getsize(path)
+    return int(size * _COMPRESSION_RATIO) * cap
+
+
+def auto_stride(sf_dir: str, cap: int) -> int:
+    """Smallest power-of-two stride whose sampled sort input fits the
+    exact-mode budget; 1 (exact, oracle-parity) whenever exact fits.
+    The 64x stress showed exact-mode thrash is predictable from this
+    volume estimate — so predict it instead of hitting it."""
+    est = _estimate_sort_bytes(sf_dir, cap)
+    budget = int(
+        os.environ.get(
+            "SPARK_GRAFT_SUFFIX_EXACT_BUDGET", EXACT_SORT_BUDGET_BYTES
+        )
+    )
+    stride = 1
+    while est > budget * stride:
+        stride *= 2
+    return stride
+
+
+def resolved_stride(
+    stride: int | None = None,
+    sf_dir: str | None = None,
+    cap: int | None = None,
+) -> int:
+    """Precedence: explicit ``stride`` arg > SPARK_GRAFT_SUFFIX_STRIDE
+    env > volume-derived ``auto_stride`` (when the corpus location is
+    known) > 1. The env override is what the driver/tests rely on; the
+    auto path only ever departs from 1 when exact mode would thrash,
+    and logs the decision."""
     if stride is None:
-        stride = int(os.environ.get("SPARK_GRAFT_SUFFIX_STRIDE", "1"))
+        env = os.environ.get("SPARK_GRAFT_SUFFIX_STRIDE")
+        if env is not None:
+            stride = int(env)
+        elif sf_dir is not None and cap is not None:
+            stride = auto_stride(sf_dir, cap)
+            if stride > 1:
+                import sys
+
+                print(
+                    f"suffix: auto stride={stride} "
+                    f"(est sort input {_estimate_sort_bytes(sf_dir, cap)/1e9:.1f} GB "
+                    f"> exact budget; set SPARK_GRAFT_SUFFIX_STRIDE=1 to force exact)",
+                    file=sys.stderr,
+                )
+        else:
+            stride = 1
     if stride < 1:
         raise ValueError(f"suffix stride must be >= 1, got {stride}")
     return stride
@@ -140,7 +217,7 @@ def adjacent_suffixes(
     by all ExactSubstr-family consumers in the session. ``stride`` > 1
     switches to content-anchored sampling (module docstring).
     """
-    stride = resolved_stride(stride)
+    stride = resolved_stride(stride, sf_dir, cap)
     key = (spark.sparkContext.applicationId, sf_dir, cap, stride)
     hit = _CACHE.get(key)
     if hit is not None:

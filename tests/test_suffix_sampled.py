@@ -64,6 +64,32 @@ def test_sampled_spans_sound_and_recall(spark, sf_dir, stride):
     )
 
 
+def test_auto_stride_heuristic(tmp_path):
+    """The stride default is derived from estimated sort volume
+    (rows × cap bytes vs the exact-mode budget): exact (stride 1) at
+    every local SF, sampled at the 64x replica volume where the
+    measured record shows exact-mode external-sort thrash."""
+    from ojo_daps_mirror_spark.operators.suffix import (
+        auto_stride,
+        resolved_stride,
+    )
+
+    assert auto_stride("/root/testdata/sf0.1", 48) == 1
+    assert auto_stride("/root/testdata/sf0.01", 48) == 1
+    big = tmp_path / "documents.parquet"
+    with open(big, "wb") as fh:  # the 64x replica's compressed volume
+        fh.truncate(64 * 594_568)
+    assert auto_stride(str(tmp_path), 48) >= 4
+    # env override still beats auto (the oracle/driver contract)
+    os.environ["SPARK_GRAFT_SUFFIX_STRIDE"] = "1"
+    try:
+        assert resolved_stride(None, str(tmp_path), 48) == 1
+    finally:
+        del os.environ["SPARK_GRAFT_SUFFIX_STRIDE"]
+    # explicit arg beats everything
+    assert resolved_stride(3, str(tmp_path), 48) == 3
+
+
 def test_stride_resolution_and_validation():
     from ojo_daps_mirror_spark.operators.suffix import resolved_stride
 
