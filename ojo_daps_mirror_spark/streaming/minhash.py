@@ -115,6 +115,12 @@ def stream_minhash_dedup(
         .start()
     )
     q.awaitTermination()
+    # record progress so the state-bound tests can assert the claim in
+    # this module's docstring: NO stateOperators — stream state is only
+    # the source offsets, the signature store lives in the lake
+    from .stock import capture_progress
+
+    capture_progress(q)
 
 
 def read_matches(spark: SparkSession, out_dir: str) -> DataFrame:

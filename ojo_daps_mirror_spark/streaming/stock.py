@@ -20,22 +20,77 @@ from pyspark.sql import functions as F
 WATERMARK = "1 day"
 WINDOW = "1 day"
 
+# StreamingQueryProgress records of the most recent drain (set by
+# run_to_completion / capture_progress). The state-bound tests and the
+# streaming stress harness read stateOperators metrics from here —
+# the externally observable proof that each stateful op's state is
+# dimension-bounded (windows × types, users, watermark window), not
+# stream-length-bounded.
+LAST_PROGRESS: list[dict] = []
+
+
+def capture_progress(query) -> list[dict]:
+    """Store the query's recentProgress as plain dicts in
+    LAST_PROGRESS and return them."""
+    import json as _json
+
+    global LAST_PROGRESS
+    out = []
+    for p in query.recentProgress:
+        out.append(p if isinstance(p, dict) else _json.loads(p.json))
+    LAST_PROGRESS = out
+    return out
+
+
+def state_summary(progress: list[dict] | None = None) -> dict:
+    """Max state size over a drain's progress records:
+    {rows, bytes, by_operator: {opName: max rows}}. Zero everywhere
+    for stateless drains (e.g. foreachBatch probes whose only state is
+    source offsets)."""
+    progress = LAST_PROGRESS if progress is None else progress
+    rows = bytes_ = 0
+    by_op: dict[str, int] = {}
+    for p in progress:
+        ops = p.get("stateOperators") or []
+        rows = max(rows, sum(int(o.get("numRowsTotal", 0)) for o in ops))
+        bytes_ = max(
+            bytes_, sum(int(o.get("memoryUsedBytes", 0)) for o in ops)
+        )
+        for o in ops:
+            name = o.get("operatorName", "?")
+            by_op[name] = max(
+                by_op.get(name, 0), int(o.get("numRowsTotal", 0))
+            )
+    return {"rows": rows, "bytes": bytes_, "by_operator": by_op}
+
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events table, ts normalised to timestamp.
 
     The file-stream source wants a directory to monitor; expose the
     single parquet file through a temp-dir symlink (in production the
-    source is a real landing directory / Kafka topic).
+    source is a real landing directory / Kafka topic). Replica builds
+    (scripts/scale_stress.py) write events.parquet as a DIRECTORY of
+    part files — those are linked individually, re-linked fresh each
+    call because a rebuild renames every part.
     """
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     stream_dir = os.path.join(
         tempfile.gettempdir(), f"ojo_stream_{hashlib.md5(src.encode()).hexdigest()[:8]}"
     )
     os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    if os.path.isdir(src) and not os.path.islink(src):
+        for name in os.listdir(stream_dir):
+            os.unlink(os.path.join(stream_dir, name))
+        for name in os.listdir(src):
+            if name.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(src, name), os.path.join(stream_dir, name)
+                )
+    else:
+        link = os.path.join(stream_dir, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
 
     batch_schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(batch_schema).parquet(stream_dir)
@@ -58,6 +113,7 @@ def run_to_completion(df: DataFrame, spark: SparkSession, mode: str = "complete"
         .start()
     )
     query.awaitTermination()
+    capture_progress(query)
     return spark.table(sink)
 
 

@@ -128,6 +128,110 @@ OLAP_KEYS = [
 ]
 
 
+STREAM_KEYS = [
+    "streaming_stock",
+    "streaming_sliding_counts",
+    "streaming_dedup",
+    "streaming_stateful_profiles",
+    "streaming_rate_anomaly",
+    "streaming_join_conversions",
+    "streaming_unconverted_clicks",
+    "streaming_minhash_dedup",
+]
+
+
+def _stream_dims(spark, sf_dir: str) -> dict:
+    """Dimension counts that bound each stateful op's state."""
+    from pyspark.sql import functions as F
+
+    from ojo_daps_mirror_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+        F.sum((F.col("event_type") == "click").cast("long")).alias("n_clicks"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "n_purchases"
+        ),
+    ).collect()[0]
+    return row.asDict()
+
+
+def _stream_state_bounds(d: dict) -> dict:
+    """Per-key state-row ceilings (tests/test_streaming_semantics.py
+    asserts the same bounds at sf0.001; here they gate 16x volume).
+    The windowed aggregates' bounds are REPLICA-INVARIANT (days ×
+    types — replication adds users, not days), the key-state ops'
+    bounds scale with users, the joins' with participating rows, and
+    the foreachBatch probe must show zero state at any scale."""
+    return {
+        "streaming_stock": (d["n_days"] + 1) * d["n_types"],
+        "streaming_sliding_counts": 4 * (d["n_days"] + 1) * d["n_types"],
+        "streaming_dedup": d["n_users"] * d["n_types"],
+        "streaming_stateful_profiles": d["n_users"],
+        "streaming_rate_anomaly": d["n_types"],
+        "streaming_join_conversions": d["n_clicks"] + d["n_purchases"],
+        "streaming_unconverted_clicks": d["n_clicks"] + d["n_purchases"],
+        "streaming_minhash_dedup": 0,
+    }
+
+
+def run_stream_family(spark, out_dir: str, replicas: int) -> int:
+    """Drive every availableNow drain at the replica volume and assert
+    the state bounds from StreamingQueryProgress stateOperators."""
+    from ojo_daps_mirror_spark import plans
+    from ojo_daps_mirror_spark.streaming import stock
+
+    dims = _stream_dims(spark, out_dir)
+    bounds = _stream_state_bounds(dims)
+    records: dict[str, dict] = {}
+    violations = 0
+    for k in STREAM_KEYS:
+        t1 = time.perf_counter()
+        n_out = plans.QUERIES[k](spark, out_dir).count()
+        sec = round(time.perf_counter() - t1, 3)
+        st = stock.state_summary()
+        bound = bounds[k]
+        ok = st["rows"] <= bound
+        if not ok:
+            violations += 1
+        records[k] = {
+            "sec": sec,
+            "rows_out": n_out,
+            "state_rows": st["rows"],
+            "state_bytes": st["bytes"],
+            "state_bound": bound,
+            "ok": ok,
+        }
+        print(f"{k}: {sec}s state_rows={st['rows']} bound={bound} "
+              f"{'OK' if ok else 'VIOLATION'}", flush=True)
+
+    sf = round(0.1 * replicas, 2)
+    rec = {
+        "metric": "stream_family_state_bounds",
+        "value": round(sum(r["sec"] for r in records.values()), 3),
+        "unit": "sec",
+        "queries": {k: r["sec"] for k, r in records.items()},
+        "state": records,
+        "dims": dims,
+        "violations": violations,
+        "sf": sf,
+        "replicas": replicas,
+        "base_sf_dir": BASE_SF_DIR,
+    }
+    os.makedirs(os.path.join(REPO, "bench_out"), exist_ok=True)
+    path = os.path.join(REPO, "bench_out", f"stress_stream_sf{sf}.json")
+    with open(path, "w") as fh:
+        json.dump(rec, fh, indent=1, sort_keys=True)
+    print(json.dumps({"metric": rec["metric"], "value": rec["value"],
+                      "sf": sf, "violations": violations}))
+    print(f"# record: {path}")
+    return 1 if violations else 0
+
+
 def _shuffle(chars: str, r: int) -> str:
     """Per-replica character permutation: md5-keyed sort keeps it a
     deterministic bijection AND distinct for every replica index (a
@@ -183,6 +287,10 @@ def build(spark, out_dir: str, replicas: int, family: str = "docs") -> None:
         replicated |= {"events", "orders", "lineitem", "customer"}
     if family == "olap":
         replicated -= {"documents", "embeddings"}
+    if family == "stream":
+        # the drains read events; the minhash probe seeds its
+        # signature store from documents
+        replicated = {"events", "documents"}
 
     os.makedirs(out_dir, exist_ok=True)
     for t in TABLES:
@@ -240,6 +348,8 @@ def build(spark, out_dir: str, replicas: int, family: str = "docs") -> None:
         os.path.join(out_dir, "documents.parquet")
     )
 
+    if "embeddings" not in replicated:
+        return
     emb_parts = []
     dim = 64
     for r in range(replicas):
@@ -272,6 +382,7 @@ def main() -> int:
     out_dir = None
     skip_build = False
     family = "docs"
+    tag_arg = None
     keys_arg: list[str] = []
     argv = sys.argv[1:]
     i = 0
@@ -287,6 +398,9 @@ def main() -> int:
             i += 1
         elif argv[i] == "--family":
             family = argv[i + 1]
+            i += 2
+        elif argv[i] == "--tag":
+            tag_arg = argv[i + 1]
             i += 2
         elif argv[i] == "--keys":
             i += 1
@@ -317,6 +431,8 @@ def main() -> int:
         print(f"# built {replicas}x {family} replica at {out_dir} "
               f"in {time.perf_counter() - t0:.1f}s", flush=True)
 
+    if family == "stream":
+        return run_stream_family(spark, out_dir, replicas)
     default_keys = OLAP_KEYS if family == "olap" else HEAVY_KEYS
     keys = [k for k in (keys_arg or default_keys) if k in plans.QUERIES]
     timings: dict[str, float] = {}
@@ -339,7 +455,11 @@ def main() -> int:
         "base_sf_dir": BASE_SF_DIR,
     }
     os.makedirs(os.path.join(REPO, "bench_out"), exist_ok=True)
-    tag = "_extra" if keys_arg else ("" if family == "docs" else f"_{family}")
+    tag = (
+        f"_{tag_arg}"
+        if tag_arg
+        else ("_extra" if keys_arg else ("" if family == "docs" else f"_{family}"))
+    )
     path = os.path.join(REPO, "bench_out", f"stress_sf{sf}{tag}.json")
     with open(path, "w") as fh:
         json.dump(rec, fh, indent=1, sort_keys=True)

@@ -290,3 +290,137 @@ def test_streaming_minhash_dedup_drain_equals_batch_and_restart_is_noop(
     assert keyset(read_matches(spark, out)) == expect
     after = [d for d in os.listdir(out) if d.startswith("batch_id=")]
     assert sorted(after) == sorted(batch_dirs)
+
+
+# ---------------------------------------------------------------------------
+# State-size bounds (round-5): the externally observable proof, via
+# StreamingQueryProgress stateOperators, that every stateful op keeps
+# state DIMENSION-bounded (windows × types, users, watermark window,
+# both-sides-within-watermark) rather than stream-length-bounded.
+# The streaming stress harness (scripts/scale_stress.py --family
+# stream) asserts the same bounds at 16x replica volume.
+# ---------------------------------------------------------------------------
+
+
+def _drain(spark, key, sf_dir):
+    from ojo_daps_mirror_spark import plans
+    from ojo_daps_mirror_spark.streaming import stock
+
+    plans.load_all()
+    n_out = plans.QUERIES[key](spark, sf_dir).count()
+    return n_out, stock.state_summary()
+
+
+def _dims(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ojo_daps_mirror_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+        F.sum((F.col("event_type") == "click").cast("long")).alias("n_clicks"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "n_purchases"
+        ),
+    ).collect()[0]
+    return row.asDict()
+
+
+def test_state_bound_windowed_aggregate(spark, sf_dir):
+    """C12 tumbling windows: state rows ≤ windows × types — the
+    dimension grid, never the event stream."""
+    n_out, st = _drain(spark, "streaming_stock", sf_dir)
+    d = _dims(spark, sf_dir)
+    assert n_out > 0 and st["rows"] > 0
+    assert st["rows"] <= (d["n_days"] + 1) * d["n_types"], st
+
+
+def test_state_bound_sliding_windows(spark, sf_dir):
+    """C40 sliding 24h/6h windows: each event lands in exactly 4
+    windows, so state ≤ 4 × (days+1) × types."""
+    n_out, st = _drain(spark, "streaming_sliding_counts", sf_dir)
+    d = _dims(spark, sf_dir)
+    assert n_out > 0 and st["rows"] > 0
+    assert st["rows"] <= 4 * (d["n_days"] + 1) * d["n_types"], st
+
+
+def test_state_bound_dedup_within_watermark(spark, sf_dir):
+    """C14 dropDuplicatesWithinWatermark: state holds at most the
+    DISTINCT (user, type) keys inside the watermark horizon — bounded
+    by the key space, not by how many duplicate events streamed by."""
+    n_out, st = _drain(spark, "streaming_dedup", sf_dir)
+    d = _dims(spark, sf_dir)
+    assert n_out > 0 and st["rows"] > 0
+    assert st["rows"] <= d["n_users"] * d["n_types"], st
+    assert st["rows"] < d["n_events"], "state grew with the stream"
+
+
+def test_state_bound_stateful_profiles(spark, sf_dir):
+    """C21 applyInPandasWithState per-user profiles: one state row per
+    user, period."""
+    n_out, st = _drain(spark, "streaming_stateful_profiles", sf_dir)
+    d = _dims(spark, sf_dir)
+    assert n_out > 0 and st["rows"] > 0
+    assert st["rows"] <= d["n_users"], st
+
+
+def test_state_bound_rate_anomaly(spark, sf_dir):
+    """C72 per-event-type anomaly state: one row per type."""
+    n_out, st = _drain(spark, "streaming_rate_anomaly", sf_dir)
+    d = _dims(spark, sf_dir)
+    assert n_out > 0 and st["rows"] > 0
+    assert st["rows"] <= d["n_types"], st
+
+
+def test_state_bound_stream_stream_join(spark, sf_dir):
+    """C22 inner interval join: both sides buffered, bounded by the
+    click+purchase volume inside watermark+range (≤ all clicks +
+    purchases; at this horizon nothing has been evicted yet, so the
+    bound is the participating-row total, never all events)."""
+    n_out, st = _drain(spark, "streaming_join_conversions", sf_dir)
+    d = _dims(spark, sf_dir)
+    assert n_out > 0 and st["rows"] > 0
+    assert st["rows"] <= d["n_clicks"] + d["n_purchases"], st
+
+
+def test_state_bound_outer_join(spark, sf_dir):
+    """C57 left-outer interval join: same both-sides bound as C22."""
+    n_out, st = _drain(spark, "streaming_unconverted_clicks", sf_dir)
+    d = _dims(spark, sf_dir)
+    assert n_out > 0 and st["rows"] > 0
+    assert st["rows"] <= d["n_clicks"] + d["n_purchases"], st
+
+
+def test_state_bound_minhash_probe_is_stateless(spark, sf_dir):
+    """C229 foreachBatch probe: stream state is ONLY source offsets —
+    zero stateOperators rows — and the signature store stays
+    O(corpus index): the drain reads it, never appends to it."""
+    import os
+
+    from ojo_daps_mirror_spark import plans
+    from ojo_daps_mirror_spark.streaming import stock
+
+    plans.load_all()
+    n_out = plans.QUERIES["streaming_minhash_dedup"](spark, sf_dir).count()
+    assert n_out >= 0
+    st = stock.state_summary()
+    assert st["rows"] == 0 and st["by_operator"] == {}, st
+    # the signature store on disk is exactly the seeded corpus index
+    from ojo_daps_mirror_spark.plans import misc_plans
+    index_dirs = [d for d in misc_plans._STREAM_MH_DIRS if os.path.isdir(d)]
+    assert index_dirs, "work dir missing"
+    idx = spark.read.parquet(os.path.join(index_dirs[-1], "index"))
+    from pyspark.sql import functions as F
+    from ojo_daps_mirror_spark.plans.llm_plans6 import PROBE_MOD, PROBE_REM
+    from ojo_daps_mirror_spark.plans.text_plans import minhash_bands
+    from ojo_daps_mirror_spark.sources import load_table
+    expected = minhash_bands(
+        load_table(spark, sf_dir, "documents").where(
+            F.col("doc_id") % PROBE_MOD != PROBE_REM
+        )
+    ).count()
+    assert idx.count() == expected
