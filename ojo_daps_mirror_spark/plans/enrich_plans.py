@@ -373,6 +373,43 @@ ORDER BY id_a, id_b
 """
 
 
+# Per-side rows per block-pair task in near_dup_windowed, and the
+# per-salt query budget in near_dup_adaptive. A 2000x2000 sims block
+# is ~32 MB and milliseconds of BLAS — small enough that task count,
+# not task size, sets the wall-clock.
+ND_BLOCK_ROWS = 2000
+# embeddings.parquet measures ~400 compressed bytes/vector at every
+# provided SF; the estimate only steers task decomposition (any value
+# within ~2x picks the same block count), never results.
+_EMB_BYTES_PER_ROW = 400
+
+
+def _est_emb_rows(sf_dir: str) -> int:
+    """File-metadata row estimate for the embeddings table — no Spark
+    job, same trick as operators/suffix.auto_stride. On a lake
+    deployment this comes from table stats."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    size = 0
+    if os.path.isdir(path):
+        for root, _, files in os.walk(path):
+            size += sum(
+                os.path.getsize(os.path.join(root, f)) for f in files
+            )
+    elif os.path.exists(path):
+        size = os.path.getsize(path)
+    return max(1, size // _EMB_BYTES_PER_ROW)
+
+
+def _window_blocks(sf_dir: str) -> int:
+    """Blocks per window: 1 at every provided SF (the original one-
+    task-per-window plan, bit-identical results), growing with corpus
+    volume so per-task work stays ~ND_BLOCK_ROWS² as windows fatten."""
+    est_window = _est_emb_rows(sf_dir) * WINDOW_DAYS // HORIZON_DAYS
+    return max(1, -(-est_window // ND_BLOCK_ROWS))
+
+
 @register("near_dup_windowed", oracle=_A20_ORACLE)
 def near_dup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window vector near-duplicate pairs.
@@ -382,10 +419,16 @@ def near_dup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     get_sliding_windows), one FAISS index per window. Here each vector
     maps to its 1–2 windows (a generate-free explode against a tiny
     broadcast window dim; pseudo-date is derived deterministically from
-    vec_id since testdata embeddings carry no timestamp), then one
-    applyInPandas task per window does the block matmul — exactly the
-    reference's per-window-index-fits-memory contract, and the shuffle
-    is bounded by window membership, never the full corpus squared.
+    vec_id since testdata embeddings carry no timestamp), then the
+    within-window all-pairs scan runs as BLOCK-PAIR tasks: rows hash
+    to B blocks (B from estimated corpus volume; 1 at every provided
+    SF), each unordered block pair (p1 ≤ p2) is one applyInPandas
+    task, and a pair of vectors meets in exactly ONE task. The O(m²)
+    work per window is the exact-scan contract, but the 16x audit
+    showed one-task-per-window serialises it onto one core as windows
+    fatten (49.7 s at 16x); block pairs spread the same work over
+    B(B+1)/2 tasks per window (shuffle grows ×B — embeddings are
+    narrow) and the wall-clock follows the cluster, not the window.
     """
     import numpy as np
     import pandas as pd
@@ -396,6 +439,7 @@ def near_dup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
+    n_blocks = _window_blocks(sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     windows = spark.createDataFrame(
         [
@@ -405,9 +449,30 @@ def near_dup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w INT, lo INT, hi INT",
     )
     day = F.col("vec_id") % HORIZON_DAYS
-    assigned = emb.join(
-        F.broadcast(windows), (day >= F.col("lo")) & (day <= F.col("hi"))
-    ).select("w", "vec_id", "embedding")
+    assigned = (
+        emb.join(
+            F.broadcast(windows), (day >= F.col("lo")) & (day <= F.col("hi"))
+        )
+        .select(
+            "w",
+            (F.col("vec_id") % n_blocks).cast("int").alias("g"),
+            "vec_id",
+            "embedding",
+        )
+        # each row meets every other block once: explode to the
+        # unordered block pairs containing its own block
+        .withColumn(
+            "bp",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {n_blocks - 1}),"
+                    " h -> struct(least(g, h) AS p1, greatest(g, h) AS p2))"
+                )
+            ),
+        )
+        .select("w", F.col("bp.p1").alias("p1"), F.col("bp.p2").alias("p2"),
+                "g", "vec_id", "embedding")
+    )
 
     out_schema = StructType(
         [
@@ -417,25 +482,42 @@ def near_dup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def window_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        p1, p2 = int(pdf["p1"].iloc[0]), int(pdf["p2"].iloc[0])
         ids = pdf["vec_id"].to_numpy()
         M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         M /= np.linalg.norm(M, axis=1, keepdims=True)
-        sims = M @ M.T
-        ai, bi = np.nonzero(sims >= WINDOWED_COS)
-        keep = ids[ai] < ids[bi]
+        g = pdf["g"].to_numpy()
+        if p1 == p2:
+            sims = M @ M.T
+            ai, bi = np.nonzero(sims >= WINDOWED_COS)
+            keep = ids[ai] < ids[bi]
+            sv = sims[ai, bi][keep]
+            ia, ib = ids[ai][keep], ids[bi][keep]
+        else:
+            a_idx = np.nonzero(g == p1)[0]
+            b_idx = np.nonzero(g == p2)[0]
+            if len(a_idx) == 0 or len(b_idx) == 0:
+                return empty
+            sims = M[a_idx] @ M[b_idx].T
+            ai, bi = np.nonzero(sims >= WINDOWED_COS)
+            if len(ai) == 0:
+                return empty
+            sv = sims[ai, bi]
+            xa, xb = ids[a_idx][ai], ids[b_idx][bi]
+            ia, ib = np.minimum(xa, xb), np.maximum(xa, xb)
         return pd.DataFrame(
             {
-                "id_a": ids[ai][keep],
-                "id_b": ids[bi][keep],
-                "cos_sim": np.floor((sims[ai, bi][keep] + 1e-9) * 1e4 + 0.5)
-                / 1e4,
+                "id_a": ia,
+                "id_b": ib,
+                "cos_sim": np.floor((sv + 1e-9) * 1e4 + 0.5) / 1e4,
             }
         )
 
     return (
-        assigned.groupBy("w")
-        .applyInPandas(window_pairs, schema=out_schema)
+        assigned.groupBy("w", "p1", "p2")
+        .applyInPandas(block_pairs, schema=out_schema)
         .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )
@@ -498,13 +580,16 @@ def near_dup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the window count bounds task parallelism (the
     reference's per-window-FAISS-index memory contract), so the QUERY
-    side is additionally salted {ADAPTIVE_QUERY_SALT} ways — every
-    (window, salt) task receives the FULL window (neighbor set and
-    local-density mean need it) but emits scores only for its own
-    query slice (vec_id % salt), giving windows × salt tasks for the
-    O(n_w²·d) pass at the cost of replicating the window shuffle
-    ×salt (embeddings are narrow; at 100 TB the salt is the knob
-    trading shuffle volume for task granularity). L1 distances run in
+    side is additionally salted — every (window, salt) task receives
+    the FULL window (neighbor set and local-density mean need it) but
+    emits scores only for its own query slice (vec_id % salt), giving
+    windows × salt tasks at the cost of replicating the window
+    shuffle ×salt (embeddings are narrow; the salt is the knob
+    trading shuffle volume for task granularity). The salt count now
+    SCALES with estimated corpus volume ({ADAPTIVE_QUERY_SALT} ×
+    _window_blocks — {ADAPTIVE_QUERY_SALT} at every provided SF, same
+    plan and results; more tasks as windows fatten, keeping per-task
+    query budget roughly constant — the 16x audit's fix). L1 distances run in
     bounded numpy chunks so no n_w² matrix materialises; only
     above-threshold pairs leave the task, and the max-over-windows agg
     touches only those.
@@ -514,12 +599,13 @@ def near_dup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    n_salt = ADAPTIVE_QUERY_SALT * _window_blocks(sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     windows = spark.createDataFrame(
         [
             (w, w * WINDOW_STRIDE, w * WINDOW_STRIDE + WINDOW_DAYS - 1, s)
             for w in range(N_WINDOWS)
-            for s in range(ADAPTIVE_QUERY_SALT)
+            for s in range(n_salt)
         ],
         "w INT, lo INT, hi INT, salt INT",
     )
@@ -537,7 +623,7 @@ def near_dup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt = int(pdf["salt"].iloc[0])
         # This task scores only ITS query slice; neighbors/means use the
         # full window (every task of a window receives identical rows).
-        q_idx = np.nonzero(ids % ADAPTIVE_QUERY_SALT == salt)[0]
+        q_idx = np.nonzero(ids % n_salt == salt)[0]
         if len(q_idx) == 0:
             return pd.DataFrame({"query_id": [], "neighbor_id": [], "score": []})
         # Pass 1: per-row L1 sums in O(n·d·log n) via per-dimension

@@ -245,7 +245,9 @@ ID_K = 5
 
 _C187_ORACLE = f"""
 WITH v AS (SELECT vec_id, embedding FROM embeddings),
-q AS (SELECT * FROM v WHERE vec_id % {QUERY_MOD} = 0),
+q AS (SELECT * FROM v
+      WHERE vec_id % {QUERY_MOD} = 0
+        AND vec_id < {QUERY_MOD} * 64),
 scored AS (
   SELECT q.vec_id AS query_id,
          1.0 - {sql_cosine('q.embedding', 'v.embedding')} AS dist,
@@ -290,16 +292,21 @@ def intrinsic_dim_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
     not); the number that says what C104's matryoshka truncation
     can get away with.
 
-    Scale shape: C8's declared all-pairs eval-harness contract for
-    the fixed query subset; per-query top-k via one rank window,
-    the MLE via a per-query reduction.
+    Scale shape: C8's eval-harness contract with a genuinely
+    FIXED-COUNT query panel (mod-selected ids capped at 64, a no-op
+    at every provided SF — the r5 16x audit caught the fixed-
+    FRACTION form at O(n²/mod)); per-query top-k via one rank
+    window, the MLE via a per-query reduction.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("e"),
         norm(F.col("embedding")).alias("nrm"),
     )
-    q = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = emb.where(
+        (F.col("vec_id") % QUERY_MOD == 0)
+        & (F.col("vec_id") < QUERY_MOD * 64)
+    ).select(
         F.col("vec_id").alias("qid"),
         F.col("e").alias("eq"),
         F.col("nrm").alias("nq"),

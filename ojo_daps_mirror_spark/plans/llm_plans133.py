@@ -137,6 +137,14 @@ def cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- C217
 
 OB_K = 10
+# Fixed query panel: the recall audit queries only vec_id < OB_PANEL
+# against ALL targets — O(panel x n), linear in corpus size, C8's
+# eval-harness contract. At sf0.001/sf0.01 (500 vectors) the panel IS
+# the whole corpus, so semantics there are unchanged; replica builds
+# offset vec_ids by 10M, so the panel stays a fixed 500 queries at any
+# replica scale (the r5 16x audit caught the old every-query all-pairs
+# form thrashing a 2.5e10-row persist).
+OB_PANEL = 500
 
 _C217_ORACLE = f"""
 WITH bits AS MATERIALIZED (
@@ -152,6 +160,7 @@ pairs AS MATERIALIZED (
          len(list_filter(range(1, len(a.sgn) + 1),
                          i -> a.sgn[i] = b.sgn[i])) AS ham_match
   FROM bits a JOIN bits b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < {OB_PANEL}
 ),
 cos_top AS (
   SELECT q, t FROM (
@@ -198,9 +207,11 @@ def onebit_retrieval_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties in the integer Hamming ranking break by vec_id in both
     engines; cosine ranking is the shared identical double tree.
 
-    Scale shape: all-pairs is the declared exact-baseline contract
-    (C8); the 1-bit path at scale is hamming-band bucketing like
-    dedup_simhash — the audit, not the scan, is the product.
+    Scale shape: a FIXED query panel (vec_id < OB_PANEL) against
+    all targets — O(panel x n) like every other eval harness here
+    (C8's contract; retrieval_mrr / ndcg_eval share the shape). The
+    1-bit path at scale is hamming-band bucketing like dedup_simhash —
+    the audit, not the scan, is the product.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     bits = emb.select(
@@ -210,7 +221,7 @@ def onebit_retrieval_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(embedding, v -> CASE WHEN v > 0 THEN 1 ELSE 0 END)"
         ).alias("sgn"),
     )
-    a = bits.alias("a")
+    a = bits.where(F.col("vec_id") < OB_PANEL).alias("a")
     b = bits.alias("b")
     pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("q"),
@@ -322,22 +333,20 @@ def neardup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal threshold, far from rounding boundaries); wedge and
     closure counts are exact integers.
 
-    Scale shape: edges come from the declared exact baseline at
-    test scale (the bucketed C9/C15 paths at 100 TB); the wedge
-    join is edge-grain (near-dup graphs are sparse by construction
-    — that is what the threshold is FOR), one join to close.
+    Scale shape: edges are A13's block-pair BLAS kernel (same 0.4
+    threshold — near_dup_cosine's exact all-pairs, each unordered
+    pair computed in exactly one task); the wedge join is edge-grain
+    (near-dup graphs are sparse by construction — that is what the
+    threshold is FOR), one join to close. The r5 16x audit replaced
+    the original expression-tree BNLJ edge build here: a cosine
+    filter inside BroadcastNestedLoopJoin evaluates OUTSIDE
+    whole-stage codegen, and 5e8 interpreted 64-dim aggregates took
+    ~30 min where the blocked matmul takes seconds.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    edges = (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .where(
-            cosine(F.col("a.embedding"), F.col("b.embedding")) >= ND_COS
-        )
-        .select(
-            F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("v")
-        )
+    from .vector_plans import near_dup_cosine
+
+    edges = near_dup_cosine(spark, sf_dir).select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
     )
     edges = edges.persist()
     und = edges.unionByName(

@@ -125,7 +125,9 @@ def near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _C8_ORACLE = f"""
 WITH v AS (SELECT vec_id, embedding FROM embeddings),
-q AS (SELECT * FROM v WHERE vec_id % {QUERY_MOD} = 0),
+q AS (SELECT * FROM v
+      WHERE vec_id % {QUERY_MOD} = 0
+        AND vec_id < {QUERY_MOD * QUERY_PANEL_K}),
 scored AS (
   SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
          {sql_cosine('q.embedding', 'v.embedding')} AS cos
@@ -146,14 +148,25 @@ ORDER BY query_id, rank
 
 @register("ann_topk_bruteforce", oracle=_C8_ORACLE)
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k cosine neighbours for the query subset — the
-    correctness baseline every approximate path is judged against."""
+    """Exact top-k cosine neighbours for the query panel — the
+    correctness baseline every approximate path is judged against.
+
+    The panel is FIXED-COUNT (mod-selected ids, capped at
+    QUERY_PANEL_K like every driver-collected panel): at every
+    provided SF the cap is a no-op (≤40 mod-selected ids), so oracle
+    parity and the recall tests see the historical subset, while at
+    replica scale the scan is O(panel × n) — linear — instead of the
+    O(n²/mod) fixed-fraction form the r5 16x audit flagged (40 s at
+    16x; the allowlist seat claimed fixed-count, now it is true)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("e"),
         norm(F.col("embedding")).alias("nrm"),
     )
-    queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
+    queries = emb.where(
+        (F.col("vec_id") % QUERY_MOD == 0)
+        & (F.col("vec_id") < QUERY_MOD * QUERY_PANEL_K)
+    )
     from ..functions.vectors import dot
 
     q = queries.alias("q")

@@ -43,6 +43,7 @@ ARROW_OK = {
     "near_dup_adaptive",
     "near_dup_cosine",
     "near_dup_windowed",
+    "neardup_transitivity_audit",  # edges via A13's block-pair BLAS kernel (r5 audit fix)
     "pq_encode",
     "semdedup",
     "text_dedup_pipeline",
