@@ -29,8 +29,12 @@ from .vector_plans import (
 
 # C8's oracle with the fixed-count panel: same mod spread, but the
 # driver-collected query matrix is capped at QUERY_PANEL_K rows.
+# replace C8's whole (mod AND fixed-count cap) predicate with the
+# equivalent ORDER BY/LIMIT panel form C53 has always used — on dense
+# ids the two select the identical first-QUERY_PANEL_K mod-ids
 _C53_ORACLE = _C8_ORACLE.replace(
-    f"WHERE vec_id % {QUERY_MOD} = 0",
+    f"""WHERE vec_id % {QUERY_MOD} = 0
+        AND vec_id < {QUERY_MOD * QUERY_PANEL_K}""",
     f"WHERE vec_id % {QUERY_MOD} = 0 ORDER BY vec_id LIMIT {QUERY_PANEL_K}",
 )
 
