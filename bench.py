@@ -335,7 +335,16 @@ def main() -> None:
     subset = os.environ.get("SPARK_GRAFT_BENCH_KEYS")
     if subset:
         wanted = [k.strip() for k in subset.split(",") if k.strip()]
-        keys = [k for k in wanted if k in plans.QUERIES]
+        unknown = [k for k in wanted if k not in plans.QUERIES]
+        if unknown:
+            # A typo'd/stale key must fail loudly, not silently shrink
+            # the measured set (empty would also crash obscurely at the
+            # warm-up line below).
+            raise SystemExit(
+                "bench: SPARK_GRAFT_BENCH_KEYS names unregistered "
+                f"keys: {', '.join(sorted(unknown))}"
+            )
+        keys = wanted
     # Warm the JVM + parquet footers once with the cheapest query.
     plans.QUERIES[keys[0]](spark, SF_DIR).count()
 

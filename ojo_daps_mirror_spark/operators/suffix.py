@@ -39,12 +39,16 @@ process exit reaps it, with a mtime-TTL sweep of orphaned
 explodes EVERY position: the sort input is ~×cap the corpus bytes
 (≈5 PB of shuffle at 100 TB), which is what ExactSubstr costs without
 a compressed suffix-array build. For corpus scales where that is not
-worth it, the stride departs from 1. The default is now AUTO-PICKED
-from estimated sort volume (``auto_stride``: corpus bytes × cap vs
-the empirically calibrated exact-mode budget — the 64x stress showed
+worth it, the stride departs from 1 — but only ever by OPT-IN. The
+default (no env, no arg) is always the exact, oracle-parity stride 1:
+exactness must never silently depend on input size crossing a
+hardware-calibrated threshold. Set ``SPARK_GRAFT_SUFFIX_STRIDE=auto``
+(what the bench/stress harnesses use) to derive the stride from
+estimated sort volume (``auto_stride``: corpus bytes × cap vs the
+empirically calibrated exact-mode budget — the 64x stress showed
 thrash is predictable from that estimate, so it is predicted instead
-of hit; at every local SF the estimate fits and the default stays the
-exact, oracle-parity stride 1). To force a value, set
+of hit; at every local SF the estimate fits and auto still resolves
+to 1). To force a value, set
 ``SPARK_GRAFT_SUFFIX_STRIDE=s`` (or pass ``stride=s``):
 only positions whose ``ANCHOR_W``-char content window hashes to
 ``0 mod s`` are exploded, cutting sort input ~s×. Anchors are
@@ -57,8 +61,8 @@ coverage, per-position LCP is a lower bound) but becomes incomplete:
 a duplicated run is found iff an anchor lands in it, so short spans
 near the ``ESD_MIN`` threshold are missed with probability
 ~(1 - 1/s)^(L - ANCHOR_W). Recall floor is asserted in
-tests/test_suffix_sampled.py. Oracle parity holds only at stride 1
-(the default — the driver and tests never set the env var).
+tests/test_suffix_sampled.py. Oracle parity holds only at stride 1,
+which is the unconditional default.
 """
 
 from __future__ import annotations
@@ -82,9 +86,12 @@ _DIRS: set[str] = set()
 # Stale per-app stage dirs from crashed/killed processes (clear_cache
 # never ran) are reaped on this process's first stage write: anything
 # matching ojo_suffix_* in the temp dir and untouched for this long is
-# assumed orphaned. Live sessions touch their stage at write time, so
-# only genuinely dead apps' debris crosses the threshold.
-_STALE_TTL_SECS = 6 * 3600
+# assumed orphaned. Live sessions touch their stage at write time AND
+# on every in-process cache hit (os.utime in adjacent_suffixes), and
+# the TTL is far past any plausible session length, so only genuinely
+# dead apps' debris crosses the threshold — a concurrent long-lived
+# session cannot have its live stage reaped out from under it.
+_STALE_TTL_SECS = 48 * 3600
 _swept = False
 
 
@@ -176,27 +183,34 @@ def resolved_stride(
     cap: int | None = None,
 ) -> int:
     """Precedence: explicit ``stride`` arg > SPARK_GRAFT_SUFFIX_STRIDE
-    env > volume-derived ``auto_stride`` (when the corpus location is
-    known) > 1. The env override is what the driver/tests rely on; the
-    auto path only ever departs from 1 when exact mode would thrash,
-    and logs the decision."""
+    env (a number, or the literal ``auto`` to derive the stride from
+    estimated sort volume) > 1. Sampling is strictly OPT-IN: with no
+    arg and no env the result is always the exact, oracle-parity
+    stride 1 regardless of input size — correctness-gated entry points
+    (the driver contract, the oracle sweeps) therefore stay exact by
+    construction, and only harnesses that explicitly ask for ``auto``
+    (bench/stress at replica scale) get the volume-derived stride,
+    with the decision logged."""
     if stride is None:
         env = os.environ.get("SPARK_GRAFT_SUFFIX_STRIDE")
-        if env is not None:
-            stride = int(env)
-        elif sf_dir is not None and cap is not None:
-            stride = auto_stride(sf_dir, cap)
-            if stride > 1:
-                import sys
-
-                print(
-                    f"suffix: auto stride={stride} "
-                    f"(est sort input {_estimate_sort_bytes(sf_dir, cap)/1e9:.1f} GB "
-                    f"> exact budget; set SPARK_GRAFT_SUFFIX_STRIDE=1 to force exact)",
-                    file=sys.stderr,
-                )
-        else:
+        if env is None:
             stride = 1
+        elif env.strip().lower() == "auto":
+            if sf_dir is None or cap is None:
+                stride = 1
+            else:
+                stride = auto_stride(sf_dir, cap)
+                if stride > 1:
+                    import sys
+
+                    print(
+                        f"suffix: auto stride={stride} "
+                        f"(est sort input {_estimate_sort_bytes(sf_dir, cap)/1e9:.1f} GB "
+                        f"> exact budget; set SPARK_GRAFT_SUFFIX_STRIDE=1 to force exact)",
+                        file=sys.stderr,
+                    )
+        else:
+            stride = int(env)
     if stride < 1:
         raise ValueError(f"suffix stride must be >= 1, got {stride}")
     return stride
@@ -221,6 +235,15 @@ def adjacent_suffixes(
     key = (spark.sparkContext.applicationId, sf_dir, cap, stride)
     hit = _CACHE.get(key)
     if hit is not None:
+        # Heartbeat for the cross-process stale sweep: a long-lived
+        # session keeps its stage dir's mtime fresh on every reuse, so
+        # another process's _sweep_stale never mistakes a live stage
+        # for crashed-app debris (persist eviction degrades to a read
+        # of this path — it must still exist).
+        try:
+            os.utime(_stage_path(key[0], sf_dir, cap, stride))
+        except OSError:
+            pass
         return hit
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     positions = docs.select(
@@ -260,6 +283,24 @@ def adjacent_suffixes(
         # never delete files out from under each other's readers.
         pass
     elif shared:
+        # A writer that crashed between its tmp write and the rename
+        # leaves {path}.__tmp_{app} debris the per-process sweep never
+        # covers (shared dirs are the operator's to GC) — reap any
+        # tmp sibling older than the stale TTL before writing ours.
+        parent = os.path.dirname(path)
+        cutoff = time.time() - _STALE_TTL_SECS
+        try:
+            for name in os.listdir(parent):
+                if "__tmp_" not in name:
+                    continue
+                sib = os.path.join(parent, name)
+                try:
+                    if os.path.getmtime(sib) < cutoff:
+                        shutil.rmtree(sib, ignore_errors=True)
+                except OSError:
+                    pass
+        except OSError:
+            pass
         # Concurrency-safe publish: write under a per-app temp name,
         # then atomically rename into place; the rename loser discards
         # its copy and reads the winner's.

@@ -158,7 +158,17 @@ def data_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("c")
             .agg(sm.count_distinct("v").alias("n_distinct"))
         )
-        agg = agg.drop("n_distinct").join(F.broadcast(dis), "c")
+        # LEFT join: a column whose values are all NULL has no non-null
+        # stream and hence no HLL row — it must keep its profile row
+        # with n_distinct=0, exactly as the exact path reports it.
+        agg = (
+            agg.drop("n_distinct")
+            .join(F.broadcast(dis), "c", "left")
+            .withColumn(
+                "n_distinct",
+                F.coalesce("n_distinct", F.lit(0)).cast("bigint"),
+            )
+        )
     w = Window.partitionBy("c").orderBy(F.desc("n"), F.asc("v"))
     top = (
         counts.where(F.col("v").isNotNull())

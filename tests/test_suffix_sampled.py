@@ -65,10 +65,13 @@ def test_sampled_spans_sound_and_recall(spark, sf_dir, stride):
 
 
 def test_auto_stride_heuristic(tmp_path):
-    """The stride default is derived from estimated sort volume
-    (rows × cap bytes vs the exact-mode budget): exact (stride 1) at
-    every local SF, sampled at the 64x replica volume where the
-    measured record shows exact-mode external-sort thrash."""
+    """Auto mode (opt-in via SPARK_GRAFT_SUFFIX_STRIDE=auto) derives
+    the stride from estimated sort volume (rows × cap bytes vs the
+    exact-mode budget): exact (stride 1) at every local SF, sampled at
+    the 64x replica volume where the measured record shows exact-mode
+    external-sort thrash. WITHOUT the env var, the default is the
+    exact stride 1 regardless of input size — oracle parity must never
+    silently depend on corpus volume."""
     from ojo_daps_mirror_spark.operators.suffix import (
         auto_stride,
         resolved_stride,
@@ -80,7 +83,19 @@ def test_auto_stride_heuristic(tmp_path):
     with open(big, "wb") as fh:  # the 64x replica's compressed volume
         fh.truncate(64 * 594_568)
     assert auto_stride(str(tmp_path), 48) >= 4
-    # env override still beats auto (the oracle/driver contract)
+    # no env, huge corpus: STILL exact — auto is strictly opt-in
+    os.environ.pop("SPARK_GRAFT_SUFFIX_STRIDE", None)
+    assert resolved_stride(None, str(tmp_path), 48) == 1
+    # opting in via env=auto engages the volume heuristic
+    os.environ["SPARK_GRAFT_SUFFIX_STRIDE"] = "auto"
+    try:
+        assert resolved_stride(None, str(tmp_path), 48) >= 4
+        assert resolved_stride(None, "/root/testdata/sf0.01", 48) == 1
+        # auto with no corpus location degrades to exact
+        assert resolved_stride() == 1
+    finally:
+        del os.environ["SPARK_GRAFT_SUFFIX_STRIDE"]
+    # numeric env still forces a value
     os.environ["SPARK_GRAFT_SUFFIX_STRIDE"] = "1"
     try:
         assert resolved_stride(None, str(tmp_path), 48) == 1
