@@ -127,7 +127,10 @@ def _perturbed_text(r: int):
         )
         >= rate,
     )
-    return F.array_join(kept, " ")
+    # tier 0 returns the ORIGINAL string byte-verbatim — the split/join
+    # round-trip would normalise whitespace and break dedup_exact's
+    # first-40-chars key for no modelling gain
+    return F.when(tier == 0, F.col("text")).otherwise(F.array_join(kept, " "))
 
 
 def build(spark, out_dir: str, replicas: int) -> None:
@@ -163,13 +166,22 @@ def build(spark, out_dir: str, replicas: int) -> None:
             dperm,
         )
         new_text = F.when(planted, _perturbed_text(r)).otherwise(translated)
+        # TWO selects on purpose: computing new_text in the same
+        # projection that re-aliases doc_id to the offset id is an
+        # analyzer trap — outer column references captured inside the
+        # higher-order-function lambdas resolve against the LATERAL
+        # alias (the offset id, shifting pmod(doc_id, 3) by r·ID_SPAN
+        # mod 3) while plain references resolve against the input.
+        # Offsetting the id in a second select makes every reference
+        # unambiguous.
         doc_parts.append(
-            docs.select(
+            docs.select("doc_id", new_text.alias("text"), "lang", "source")
+            .select(
                 (F.col("doc_id") + F.lit(r * ID_SPAN)).alias("doc_id"),
-                new_text.alias("text"),
+                "text",
                 "lang",
                 "source",
-                F.length(new_text).cast("bigint").alias("n_chars"),
+                F.length("text").cast("bigint").alias("n_chars"),
             )
         )
         truth_parts.append(
@@ -232,10 +244,17 @@ def build(spark, out_dir: str, replicas: int) -> None:
                 * F.lit(0.02)
             ),
         )
+        # same two-step shape as documents: `noisy` references vec_id
+        # inside a transform lambda — keep the id offset in its own
+        # select so the lambda's outer reference can't bind laterally
         emb_parts.append(
             emb.select(
-                (F.col("vec_id") + F.lit(r * ID_SPAN)).alias("vec_id"),
+                "vec_id",
                 F.when(planted, noisy).otherwise(rotated).alias("embedding"),
+                "label",
+            ).select(
+                (F.col("vec_id") + F.lit(r * ID_SPAN)).alias("vec_id"),
+                "embedding",
                 "label",
             )
         )
