@@ -186,6 +186,80 @@ def label_propagation(
     return labels.select("id", F.col("lbl").alias("community"))
 
 
+def label_propagation_ensemble(
+    edges: DataFrame,
+    salts: tuple[str, ...],
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    iterations: int = LPA_ITERS,
+) -> DataFrame:
+    """All salted LPA ensemble members advanced in ONE round loop:
+    returns (member, id, community), member k carrying salts[k]'s
+    tie-break.
+
+    Per member this is bit-identical to ``label_propagation(edges,
+    salt=salts[k])`` — same integer-valued weight sums (order-exact
+    doubles), same per-(member, id) argmax window, same round count —
+    but the consensus callers (A36/A40) previously paid the fixed-point
+    loop's per-round scheduling + checkpoint cost once PER MEMBER
+    (3 × iterations sequential barriers on a lexicon-bounded graph
+    where scheduling, not data, dominates); threading ``member``
+    through the frames runs the whole ensemble in `iterations` rounds.
+    On a real cluster the same fusion also shares the edge scan and
+    shuffle machinery across members instead of re-running the stage
+    graph N times.
+    """
+    from pyspark.sql.window import Window
+
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    ).transform(cut_lineage)
+    n_edges = e.count()
+    n_part = max(1, min((n_edges + 2_499_999) // 2_500_000, 200_000))
+    e = e.repartition(n_part, "src").transform(cut_lineage)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .repartition(n_part, "id")
+        .transform(cut_lineage)
+    )
+    member = F.explode(
+        F.array(*[F.lit(k).cast("int") for k in range(len(salts))])
+    ).alias("member")
+    nodes_m = nodes.select("id", member).transform(cut_lineage)
+
+    labels = nodes_m.withColumn("lbl", F.col("id"))
+    salt_col = F.element_at(
+        F.array(*[F.lit(s) for s in salts]), F.col("member") + 1
+    )
+    tie = F.md5(F.concat(salt_col, F.col("lbl")))
+    w_rank = Window.partitionBy("member", "id").orderBy(
+        F.desc("wsum"), F.asc(tie)
+    )
+    for _ in range(iterations):
+        votes = (
+            e.join(labels, e.src == labels.id)
+            .select("member", F.col("dst").alias("id"), "lbl", "w")
+            .groupBy("member", "id", "lbl")
+            .agg(F.sum("w").alias("wsum"))
+        )
+        best = (
+            votes.withColumn("rn", F.row_number().over(w_rank))
+            .where(F.col("rn") == 1)
+            .select("member", "id", F.col("lbl").alias("new_lbl"))
+        )
+        labels = (
+            nodes_m.join(best, ["member", "id"], "left")
+            .select(
+                "member", "id", F.coalesce("new_lbl", "id").alias("lbl")
+            )
+            .transform(cut_lineage)
+        )
+    return labels.select("member", "id", F.col("lbl").alias("community"))
+
+
 HITS_ITERS = 5
 
 

@@ -120,12 +120,20 @@ def _sweep_stale() -> None:
             pass
 
 
+# Stage format version: bumped whenever the materialized schema
+# changes (v2 added the precomputed `lcp` column), so a shared-dir
+# stage written by older code is never misread by newer consumers.
+_STAGE_VERSION = 2
+
+
 def _stage_path(app_id: str, sf_dir: str, cap: int, stride: int) -> str:
     base = os.environ.get("SPARK_GRAFT_SUFFIX_CACHE_DIR") or os.path.join(
         tempfile.gettempdir(), f"ojo_suffix_{app_id}"
     )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    return os.path.join(base, f"cap{cap}_s{stride}_{tag}")
+    return os.path.join(
+        base, f"cap{cap}_s{stride}_v{_STAGE_VERSION}_{tag}"
+    )
 
 ANCHOR_W = 8  # content-anchor window (chars) for the sampled mode
 
@@ -225,7 +233,15 @@ def adjacent_suffixes(
       doc_id, n (doc length), p (1-based position),
       suf (the suffix capped at ``cap`` chars),
       pd / pp / pn / ps (the SORT-PREDECESSOR's doc_id / p / n / suf;
-      NULL on the first row of the total (suf, doc_id, p) order).
+      NULL on the first row of the total (suf, doc_id, p) order),
+      lcp (the exact-to-cap longest common prefix of suf and ps;
+      NULL where ps is NULL).
+
+    ``lcp`` is materialized IN the stage on purpose: it is a pure
+    function of (suf, ps) and its ~cap substring comparisons per row
+    were the dominant per-query expression cost when every consumer
+    recomputed it — paid once at stage build, every consumer reads a
+    bigint column instead.
 
     Materialized once per (application, sf_dir, cap, stride) and shared
     by all ExactSubstr-family consumers in the session. ``stride`` > 1
@@ -272,6 +288,9 @@ def adjacent_suffixes(
         sufs,
         ["suf", "doc_id", "p"],
         {"pd": "doc_id", "pp": "p", "pn": "n", "ps": "suf"},
+    ).withColumn(
+        "lcp",
+        F.when(F.col("ps").isNotNull(), adjacent_lcp(cap)),
     )
     _sweep_stale()
     path = _stage_path(key[0], sf_dir, cap, stride)

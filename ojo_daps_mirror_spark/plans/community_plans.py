@@ -20,7 +20,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import sql_tokens, tokens
-from ..operators.graph import LPA_ITERS, label_propagation
+from ..operators.graph import (
+    LPA_ITERS,
+    label_propagation,
+    label_propagation_ensemble,
+)
 from ..operators.lineage import cut_lineage
 from ..sources import load_table
 from . import register
@@ -298,26 +302,27 @@ def skill_communities_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(cut_lineage)
     )
 
-    co = None
-    for salt in CONSENSUS_SALTS:
-        labels = label_propagation(edges, salt=salt)
-        grouped = labels.groupBy("community").agg(
-            F.array_sort(F.collect_set("id")).alias("ms")
+    # ONE fused round loop for the whole ensemble (member dimension
+    # threaded through the LPA frames) — per member bit-identical to
+    # the sequential label_propagation(salt=...) calls, at a third of
+    # the fixed-point scheduling/checkpoint barriers
+    labels = label_propagation_ensemble(edges, CONSENSUS_SALTS)
+    grouped = labels.groupBy("member", "community").agg(
+        F.array_sort(F.collect_set("id")).alias("ms")
+    )
+    ms = F.col("ms")
+    pair_arr = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + F.lit(2), F.size(ms)),
+                lambda y: F.struct(x.alias("i"), y.alias("j")),
+            ),
         )
-        ms = F.col("ms")
-        pair_arr = F.flatten(
-            F.transform(
-                ms,
-                lambda x, i: F.transform(
-                    F.slice(ms, i + F.lit(2), F.size(ms)),
-                    lambda y: F.struct(x.alias("i"), y.alias("j")),
-                ),
-            )
-        )
-        pairs = grouped.select(F.explode(pair_arr).alias("p")).select(
-            F.col("p.i").alias("i"), F.col("p.j").alias("j")
-        )
-        co = pairs if co is None else co.unionAll(pairs)
+    )
+    co = grouped.select(F.explode(pair_arr).alias("p")).select(
+        F.col("p.i").alias("i"), F.col("p.j").alias("j")
+    )
 
     consensus = (
         co.groupBy("i", "j")
@@ -453,11 +458,15 @@ def consensus_partition_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = edges.select(F.col("src").alias("id")).distinct()
     nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
 
+    # ensemble advanced in ONE fused round loop (see A36) — members[k]
+    # is a narrow filter of the checkpointed (member, id, community)
+    # frame, bit-identical to the per-salt sequential runs
+    ensemble = label_propagation_ensemble(edges, CONSENSUS_SALTS)
     members = [
-        label_propagation(edges, salt=salt)
+        ensemble.where(F.col("member") == k)
         .select("id", F.col("community").alias(f"lbl{k}"))
         .transform(cut_lineage)
-        for k, salt in enumerate(CONSENSUS_SALTS)
+        for k in range(len(CONSENSUS_SALTS))
     ]
 
     def entropy(k: int) -> DataFrame:

@@ -20,7 +20,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..functions.vectors import cosine, sql_cosine
-from ..operators.suffix import adjacent_lcp, adjacent_suffixes
+from ..operators.suffix import adjacent_suffixes
 from ..sources import load_table
 from . import register
 
@@ -108,18 +108,21 @@ def suffix_lcp_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are interchangeable for every column this op reads, so the
     # adjacency multiset — and the oracle's (suf, doc_id) window —
     # are unchanged.
+    # lcp comes precomputed from the materialized stage (pure function
+    # of suf/ps, paid once at stage build — operators/suffix.py)
     ordered = adjacent_suffixes(spark, sf_dir, SUF_CAP).select(
         "doc_id",
         "suf",
         F.col("pd").alias("prev_doc"),
         F.col("ps").alias("prev_suf"),
+        "lcp",
     )
     lcps = ordered.where(
         F.col("prev_suf").isNotNull() & (F.col("doc_id") != F.col("prev_doc"))
     ).select(
         "doc_id",
         "prev_doc",
-        adjacent_lcp(SUF_CAP, prev="prev_suf").alias("lcp"),
+        "lcp",
         "suf",
     )
     spans = (

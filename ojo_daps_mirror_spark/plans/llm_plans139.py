@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.suffix import adjacent_lcp, adjacent_suffixes
+from ..operators.suffix import adjacent_suffixes
 from ..sources import load_table
 from . import register
 
@@ -94,6 +94,9 @@ def _merged_spans(spark: SparkSession, sf_dir: str):
     ONCE per session instead of once per query."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ordered = adjacent_suffixes(spark, sf_dir, ESD_CAP)
+    # lcp is precomputed in the materialized stage (pure function of
+    # suf/ps — operators/suffix.py pays its cap substring compares
+    # once at stage build, not once per consuming query)
     pairs = ordered.where(F.col("ps").isNotNull()).select(
         "doc_id",
         "p",
@@ -101,7 +104,7 @@ def _merged_spans(spark: SparkSession, sf_dir: str):
         "pd",
         "pp",
         "pn",
-        adjacent_lcp(ESD_CAP).alias("lcp"),
+        "lcp",
     )
     contrib = pairs.select("doc_id", "p", "n", "lcp").unionByName(
         pairs.select(
