@@ -133,20 +133,20 @@ def _perturbed_text(r: int):
     return F.when(tier == 0, F.col("text")).otherwise(F.array_join(kept, " "))
 
 
-def build(spark, out_dir: str, replicas: int) -> None:
+def build(spark, out_dir: str, replicas: int, skip_embeddings: bool = False) -> None:
     from pyspark.sql import functions as F
 
     from ojo_daps_mirror_spark.sources import load_table
 
     os.makedirs(out_dir, exist_ok=True)
-    for t in TABLES:
+    for t in TABLES + ["planted_vec_pairs"]:
         dst = os.path.join(out_dir, f"{t}.parquet")
         if os.path.lexists(dst):
             if os.path.islink(dst):
                 os.unlink(dst)
             else:
                 shutil.rmtree(dst, ignore_errors=True)
-        if t not in ("documents", "embeddings"):
+        if t not in ("documents", "embeddings", "planted_vec_pairs"):
             os.symlink(os.path.join(BASE_SF_DIR, f"{t}.parquet"), dst)
 
     docs = load_table(spark, BASE_SF_DIR, "documents")
@@ -205,6 +205,12 @@ def build(spark, out_dir: str, replicas: int) -> None:
         os.path.join(out_dir, "planted_pairs.parquet")
     )
 
+    if skip_embeddings:
+        os.symlink(
+            os.path.join(BASE_SF_DIR, "embeddings.parquet"),
+            os.path.join(out_dir, "embeddings.parquet"),
+        )
+        return
     emb = load_table(spark, BASE_SF_DIR, "embeddings")
     dim = 64
     emb_parts = [emb]
@@ -372,8 +378,11 @@ def measure(spark, out_dir: str, replicas: int) -> dict:
         .persist()
     )
 
+    ops = TEXT_OPS + ("dedup_exact",)
+    if os.path.exists(os.path.join(out_dir, "planted_vec_pairs.parquet")):
+        ops = ops + ("embedding_dedup_graph",)
     results: dict[str, dict] = {}
-    for op in TEXT_OPS + ("dedup_exact", "embedding_dedup_graph"):
+    for op in ops:
         t0 = time.perf_counter()
         out = plans.QUERIES[op](spark, out_dir)
         if op == "dedup_exact":
@@ -488,6 +497,7 @@ def main() -> int:
     replicas = 16
     out_dir = None
     skip_build = False
+    skip_embeddings = False
     argv = sys.argv[1:]
     i = 0
     while i < len(argv):
@@ -499,6 +509,12 @@ def main() -> int:
             i += 2
         elif argv[i] == "--skip-build":
             skip_build = True
+            i += 1
+        elif argv[i] == "--skip-embeddings":
+            # the 64x text-only leg: the embedding kernel is EXACT
+            # all-pairs (recall structurally 1.0) and quadratic in
+            # wall-time — the caps under test here are the text ops'
+            skip_embeddings = True
             i += 1
         elif argv[i] == "--gate":
             return gate()
@@ -517,7 +533,7 @@ def main() -> int:
         print(f"# reusing corpus at {out_dir}", flush=True)
     else:
         t0 = time.perf_counter()
-        build(spark, out_dir, replicas)
+        build(spark, out_dir, replicas, skip_embeddings)
         print(
             f"# built {replicas}x planted corpus at {out_dir} "
             f"in {time.perf_counter() - t0:.1f}s",
