@@ -371,6 +371,13 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[key] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {key} FAILED: {errors[key]}", file=sys.stderr)
+        # Key isolation for the storage pool (the audit-harness lesson,
+        # SURVEY §6.5): 275 queries' persist() blocks saturate the pool
+        # and a late heavy key can measure 3-4x its true cost against a
+        # polluted LRU. Clearing BETWEEN keys removes cross-key cache
+        # effects in both directions — each key's warm-up still
+        # populates that key's own caches for its timed run.
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
