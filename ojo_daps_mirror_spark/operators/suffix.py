@@ -260,6 +260,15 @@ def adjacent_suffixes(
             os.utime(_stage_path(key[0], sf_dir, cap, stride))
         except OSError:
             pass
+        # An external spark.catalog.clearCache() (bench key isolation,
+        # sweep harnesses) drops this handle's persist registration;
+        # without re-asserting it, every later consumer pays one
+        # parquet scan PER SUBTREE for the rest of the session. The
+        # parquet floor stays the worst case; block memory stays the
+        # designed fast path.
+        sl = hit.storageLevel
+        if not (sl.useMemory or sl.useDisk):
+            hit.persist()
         return hit
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     positions = docs.select(
