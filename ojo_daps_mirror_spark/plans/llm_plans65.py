@@ -306,8 +306,17 @@ FROM per_doc GROUP BY source ORDER BY source
 """
 
 
-def _mh_spark(sh) -> F.Column:
-    h31s = F.transform(sh, lambda s: hash64(s).bitwiseAND(F.lit(2147483647)))
+def _h31_spark(sh) -> F.Column:
+    """One md5 per shingle. Kept as its OWN projected column by the
+    caller: inlining it under the 8 per-perm array_mins re-evaluates
+    the md5 transform per perm (CollapseProject refuses to share a
+    non-cheap expression referenced 8 times only across ADJACENT
+    projects — an inlined lambda subtree gets no sharing at all), the
+    same once-as-a-column trick text_plans.minhash_bands documents."""
+    return F.transform(sh, lambda s: hash64(s).bitwiseAND(F.lit(2147483647)))
+
+
+def _mh_from_h31(h31s) -> F.Column:
     return F.array(
         *[
             F.array_min(
@@ -353,10 +362,15 @@ def minhash_perturbation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             MH_SHINGLE_K,
         ).alias("sh_t"),
     ).where(F.size("sh_t") > 0)
-    sigs = variants.select(
+    hashed = variants.select(
         "source",
-        _mh_spark(F.col("sh_f")).alias("mh_f"),
-        _mh_spark(F.col("sh_t")).alias("mh_t"),
+        _h31_spark(F.col("sh_f")).alias("h_f"),
+        _h31_spark(F.col("sh_t")).alias("h_t"),
+    )
+    sigs = hashed.select(
+        "source",
+        _mh_from_h31(F.col("h_f")).alias("mh_f"),
+        _mh_from_h31(F.col("h_t")).alias("mh_t"),
     )
     slots = F.size(
         F.filter(
