@@ -364,6 +364,9 @@ def measure(spark, out_dir: str, replicas: int) -> dict:
         SIM_HAM_MAX,
     )
 
+    # callable directly (tests) — don't rely on main() having run
+    plans.load_all()
+
     truth = spark.read.parquet(
         os.path.join(out_dir, "planted_pairs.parquet")
     ).persist()
