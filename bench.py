@@ -344,6 +344,13 @@ def main() -> None:
                 "bench: SPARK_GRAFT_BENCH_KEYS names unregistered "
                 f"keys: {', '.join(sorted(unknown))}"
             )
+        if not wanted:
+            # "," / whitespace-only values strip to nothing — same
+            # loud failure as a typo, not an IndexError at keys[0].
+            raise SystemExit(
+                "bench: SPARK_GRAFT_BENCH_KEYS is set but names no "
+                "keys (empty after stripping)"
+            )
         keys = wanted
     # Warm the JVM + parquet footers once with the cheapest query.
     plans.QUERIES[keys[0]](spark, SF_DIR).count()

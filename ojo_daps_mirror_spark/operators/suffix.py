@@ -43,7 +43,9 @@ worth it, the stride departs from 1 — but only ever by OPT-IN. The
 default (no env, no arg) is always the exact, oracle-parity stride 1:
 exactness must never silently depend on input size crossing a
 hardware-calibrated threshold. Set ``SPARK_GRAFT_SUFFIX_STRIDE=auto``
-(what the bench/stress harnesses use) to derive the stride from
+(the replica-scale stress harnesses — scripts/scale_stress.py,
+scripts/recall_stress.py — setdefault this at entry; bench.py and the
+oracle sweeps stay exact) to derive the stride from
 estimated sort volume (``auto_stride``: corpus bytes × cap vs the
 empirically calibrated exact-mode budget — the 64x stress showed
 thrash is predictable from that estimate, so it is predicted instead
@@ -114,7 +116,21 @@ def _sweep_stale() -> None:
         if path in _DIRS or any(d.startswith(path) for d in _DIRS):
             continue
         try:
-            if os.path.getmtime(path) < cutoff:
+            # Liveness = the freshest mtime of the dir OR any direct
+            # child: the in-process heartbeat utimes the stage subdir
+            # (and, since r7, the parent too — belt), but a stage
+            # written by older code only refreshes the child, and a
+            # plain parent-mtime check would reap a live session's
+            # stage out from under its persisted reader (suspenders).
+            mtimes = [os.path.getmtime(path)]
+            for child in os.listdir(path):
+                try:
+                    mtimes.append(
+                        os.path.getmtime(os.path.join(path, child))
+                    )
+                except OSError:
+                    pass
+            if max(mtimes) < cutoff:
                 shutil.rmtree(path, ignore_errors=True)
         except OSError:  # pragma: no cover - raced with another reaper
             pass
@@ -252,14 +268,20 @@ def adjacent_suffixes(
     hit = _CACHE.get(key)
     if hit is not None:
         # Heartbeat for the cross-process stale sweep: a long-lived
-        # session keeps its stage dir's mtime fresh on every reuse, so
-        # another process's _sweep_stale never mistakes a live stage
-        # for crashed-app debris (persist eviction degrades to a read
-        # of this path — it must still exist).
-        try:
-            os.utime(_stage_path(key[0], sf_dir, cap, stride))
-        except OSError:
-            pass
+        # session keeps its stage fresh on every reuse, so another
+        # process's _sweep_stale never mistakes a live stage for
+        # crashed-app debris (persist eviction degrades to a read of
+        # this path — it must still exist). The sweep reaps by the
+        # TOP-LEVEL ojo_suffix_* dir, and touching a child does not
+        # refresh the parent's mtime — so utime BOTH the stage subdir
+        # (shared-dir layouts GC per-stage) and its parent (the
+        # per-app tempdir layout the sweep targets).
+        hb = _stage_path(key[0], sf_dir, cap, stride)
+        for p in (hb, os.path.dirname(hb)):
+            try:
+                os.utime(p)
+            except OSError:
+                pass
         # An external spark.catalog.clearCache() (bench key isolation,
         # sweep harnesses) drops this handle's persist registration;
         # without re-asserting it, every later consumer pays one

@@ -432,41 +432,66 @@ def measure(spark, out_dir: str, replicas: int) -> dict:
                 F.col("id_b").alias("dup_id"),
                 F.lit(True).alias("hit"),
             )
-            eligible = (
-                (F.col("true_ham") <= SIM_HAM_MAX)
+            score_col = (
+                F.col("true_ham")
                 if op == "dedup_simhash"
-                else (F.col("true_jac") >= JACCARD_THRESHOLD)
+                else F.col("true_jac")
+            )
+            eligible = (
+                (score_col <= SIM_HAM_MAX)
+                if op == "dedup_simhash"
+                else (score_col >= JACCARD_THRESHOLD)
             )
             found = (
                 scored.join(hits, ["base_id", "dup_id"], "left")
                 .withColumn("hit", F.coalesce("hit", F.lit(False)))
                 .withColumn("eligible", eligible)
+                .withColumn("unscored", score_col.isNull())
                 .withColumn("etier", F.col("tier"))
             )
+        if "unscored" not in found.columns:
+            # exact / embedding branches score structurally (eligible
+            # is lit(True)) — nothing can be unscored.
+            found = found.withColumn("unscored", F.lit(False))
+        # A planted pair whose exact score row is MISSING (NULL
+        # true_jac / true_ham) has NULL `eligible` and would silently
+        # vanish from the where("eligible") denominator — a scorer gap
+        # masquerading as recall. Count those pairs explicitly so the
+        # record shows them; the gate treats any nonzero count as a
+        # harness bug to fix, not a recall number to trust.
         agg = (
-            found.where("eligible")
-            .groupBy("etier")
+            found.groupBy("etier")
             .agg(
-                F.count(F.lit(1)).alias("eligible"),
-                F.sum(F.col("hit").cast("long")).alias("found"),
+                F.sum(F.col("eligible").cast("long")).alias("eligible"),
+                F.sum(
+                    (F.col("eligible") & F.col("hit")).cast("long")
+                ).alias("found"),
+                F.sum(F.col("unscored").cast("long")).alias("unscored"),
             )
             .collect()
         )
         sec = round(time.perf_counter() - t0, 3)
         tiers = {
             int(r["etier"]): {
-                "eligible": int(r["eligible"]),
-                "found": int(r["found"]),
-                "recall": round(r["found"] / r["eligible"], 4),
+                "eligible": int(r["eligible"] or 0),
+                "found": int(r["found"] or 0),
+                "unscored": int(r["unscored"] or 0),
+                "recall": round(
+                    (r["found"] or 0) / r["eligible"], 4
+                ),
             }
             for r in agg
             if r["eligible"]
         }
+        unscored_total = sum(int(r["unscored"] or 0) for r in agg)
         results[op] = {"sec": sec, "tiers": tiers}
+        if unscored_total:
+            results[op]["unscored_pairs"] = unscored_total
         print(f"{op}: {sec}s " + " ".join(
             f"t{t}={v['found']}/{v['eligible']}({v['recall']})"
             for t, v in sorted(tiers.items())
-        ), flush=True)
+        ) + (f" UNSCORED={unscored_total}" if unscored_total else ""),
+            flush=True)
         spark.catalog.clearCache()
         truth.persist()
         scored.persist()
@@ -480,6 +505,14 @@ def gate() -> int:
     big = json.load(open(os.path.join(REPO, "bench_out", "recall_stress_sf1.6.json")))
     bad = 0
     for op, rec in big["ops"].items():
+        # Scorer gaps (planted pairs with no exact score row) are a
+        # harness bug, not a recall result — any nonzero count is a
+        # violation in its own right (ADVICE r6).
+        for side, r in (("2x", small), ("16x", big)):
+            n = r["ops"].get(op, {}).get("unscored_pairs", 0)
+            if n:
+                bad += 1
+                print(f"{op}: {n} UNSCORED pairs at {side} — VIOLATION")
         for t, v in rec["tiers"].items():
             r_small = small["ops"][op]["tiers"].get(t, {}).get("recall")
             r_big = v["recall"]
@@ -497,6 +530,12 @@ def gate() -> int:
 
 
 def main() -> int:
+    # Replica-scale stress is the one entry point where the suffix
+    # family's volume-derived sampling is the DESIGNED behaviour
+    # (operators/suffix.py module docstring): exact-sort thrash at 64x
+    # is predictable from the sort-volume estimate, so opt in to the
+    # prediction here. setdefault — an explicit operator env wins.
+    os.environ.setdefault("SPARK_GRAFT_SUFFIX_STRIDE", "auto")
     replicas = 16
     out_dir = None
     skip_build = False

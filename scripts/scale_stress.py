@@ -378,6 +378,10 @@ def build(spark, out_dir: str, replicas: int, family: str = "docs") -> None:
 
 
 def main() -> int:
+    # Replica-scale is where volume-derived suffix sampling is the
+    # designed behaviour (operators/suffix.py docstring) — opt in at
+    # entry; setdefault so an explicit operator env wins.
+    os.environ.setdefault("SPARK_GRAFT_SUFFIX_STRIDE", "auto")
     replicas = 16
     out_dir = None
     skip_build = False

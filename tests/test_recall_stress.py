@@ -105,3 +105,8 @@ def test_recall_contracts(spark, planted):
     for op, r in ops.items():
         for t, v in r["tiers"].items():
             assert v["found"] <= v["eligible"], (op, t, v)
+    # scorer completeness: every planted pair gets an exact score row —
+    # a NULL-scored pair would silently leave the recall denominator
+    # (ADVICE r6), so the harness must report zero unscored pairs here
+    for op, r in ops.items():
+        assert r.get("unscored_pairs", 0) == 0, (op, r)
