@@ -319,6 +319,9 @@ BENCH_KEYS: list[str] = [
     # cheap once operators/suffix.py materialises the sort ONCE
     "dedup_substring_excise",
     "token_yield_waterfall",
+    # round 7: the two-level taxonomy build + the affinity QC grid
+    "skill_taxonomy_subclusters",
+    "node_affinity_audit",
 ]
 
 
@@ -362,29 +365,54 @@ def main() -> None:
     # honest throughput signal. Warm-up and timed runs execute the
     # identical full plan (scan → shuffle → sink) — nothing is cached
     # between them except JIT'd code and parquet footers.
-    timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for key in keys:
-        # Per-query isolation: one broken plan must not zero the round's
-        # perf signal — record the error and keep timing the rest.
-        try:
-            plans.QUERIES[key](spark, SF_DIR).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            start = time.perf_counter()
-            df = plans.QUERIES[key](spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            timings[key] = round(time.perf_counter() - start, 3)
-        except Exception as exc:  # noqa: BLE001
-            errors[key] = f"{type(exc).__name__}: {exc}"[:300]
-            print(f"bench: {key} FAILED: {errors[key]}", file=sys.stderr)
-        # Key isolation for the storage pool (the audit-harness lesson,
-        # SURVEY §6.5): 275 queries' persist() blocks saturate the pool
-        # and a late heavy key can measure 3-4x its true cost against a
-        # polluted LRU. Clearing BETWEEN keys removes cross-key cache
-        # effects in both directions — each key's warm-up still
-        # populates that key's own caches for its timed run.
-        spark.catalog.clearCache()
+
+    def run_leg() -> dict[str, float]:
+        leg: dict[str, float] = {}
+        for key in keys:
+            # Per-query isolation: one broken plan must not zero the
+            # round's perf signal — record the error, time the rest.
+            try:
+                plans.QUERIES[key](spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                start = time.perf_counter()
+                df = plans.QUERIES[key](spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                leg[key] = round(time.perf_counter() - start, 3)
+            except Exception as exc:  # noqa: BLE001
+                errors[key] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"bench: {key} FAILED: {errors[key]}", file=sys.stderr)
+            # Key isolation for the storage pool (the audit-harness
+            # lesson, SURVEY §6.5): 275 queries' persist() blocks
+            # saturate the pool and a late heavy key can measure 3-4x
+            # its true cost against a polluted LRU. Clearing BETWEEN
+            # keys removes cross-key cache effects in both directions —
+            # each key's warm-up still populates that key's own caches
+            # for its timed run.
+            spark.catalog.clearCache()
+        return leg
+
+    # Min-of-N legs (VERDICT r6): under a host-noise floor the per-key
+    # MIN over independent full passes is the statistic that converges
+    # to cost — totals and single legs demonstrably do not (two
+    # back-to-back legs on identical code differed 1.6x in sum, 9x on
+    # one key). Each leg is a complete warm-up+timed pass over all keys
+    # with per-key cache isolation; legs share only the JVM/JIT, which
+    # is the designed steady state. Default 1 leg (the driver's quick
+    # per-round record); the round's checked-in record uses --legs 3.
+    n_legs = int(os.environ.get("SPARK_GRAFT_BENCH_LEGS", "1"))
+    if "--legs" in sys.argv:
+        n_legs = int(sys.argv[sys.argv.index("--legs") + 1])
+    if n_legs < 1:
+        raise SystemExit(f"bench: --legs must be >= 1, got {n_legs}")
+
+    legs = [run_leg() for _ in range(n_legs)]
+    timings = {
+        k: min(leg[k] for leg in legs if k in leg)
+        for k in keys
+        if any(k in leg for leg in legs)
+    }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -394,6 +422,13 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if n_legs > 1:
+        out["legs"] = n_legs
+        out["per_leg"] = legs  # raw legs: the spread IS the noise record
+        out["spread"] = {
+            k: round(max(leg[k] for leg in legs if k in leg) - timings[k], 3)
+            for k in timings
+        }
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -218,14 +218,16 @@ CONSENSUS_SALTS = ("e0", "e1", "e2")
 CONSENSUS_MIN_AGREE = 2  # pair co-clustered in ≥ 2 of 3 runs
 
 
-def _lpa_run_sql(salt: str, suffix: str) -> str:
-    """One unrolled LPA run over the shared `edges`/`nodes` CTEs with a
+def _lpa_run_sql(
+    salt: str, suffix: str, edges: str = "edges", nodes: str = "nodes"
+) -> str:
+    """One unrolled LPA run over the given edge/node CTEs with a
     salted tie-break; emits l{LPA_ITERS}{suffix}(id, lbl)."""
-    sql = f"l0{suffix} AS (SELECT id, id AS lbl FROM nodes),\n"
+    sql = f"l0{suffix} AS (SELECT id, id AS lbl FROM {nodes}),\n"
     for i in range(LPA_ITERS):
         sql += f"""v{i}{suffix} AS (
   SELECT e.dst AS id, l.lbl, SUM(e.w) AS wsum
-  FROM edges e JOIN l{i}{suffix} l ON e.src = l.id
+  FROM {edges} e JOIN l{i}{suffix} l ON e.src = l.id
   GROUP BY e.dst, l.lbl
 ),
 b{i}{suffix} AS (
@@ -239,7 +241,7 @@ b{i}{suffix} AS (
 ),
 l{i + 1}{suffix} AS (
   SELECT n.id, COALESCE(b.lbl, n.id) AS lbl
-  FROM nodes n LEFT JOIN b{i}{suffix} b ON b.id = n.id
+  FROM {nodes} n LEFT JOIN b{i}{suffix} b ON b.id = n.id
 ),
 """
     return sql
@@ -280,33 +282,15 @@ FROM reach GROUP BY v ORDER BY community, skill
 """
 
 
-@register("skill_communities_consensus", oracle=_consensus_oracle())
-def skill_communities_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Consensus clustering over an LPA ensemble — the reference's
-    actual taxonomy-build shape (cluster_utils.py:23
-    ConsensusClustering: run N clusterings, keep pairs the majority
-    agrees on, take components of the consensus graph).
-
-    Scale shape: the co-occurrence edge set is built ONCE and
-    checkpointed inside each LPA call; co-assignment pairs expand
-    map-side from per-community sorted member lists (communities are
-    lexicon-bounded); the ≥2-vote consensus is one narrow (i, j)
-    count; final components reuse the dedup CC loop. Every stage is
-    deterministic, so the whole ensemble hash-matches its unrolled SQL.
-    """
-    from ..operators.dedup import connected_components
-
-    edges = skill_cooc_edges(spark, sf_dir).transform(cut_lineage)
-    nodes = (
-        edges.select(F.col("src").alias("id")).distinct()
-        .transform(cut_lineage)
-    )
-
-    # ONE fused round loop for the whole ensemble (member dimension
-    # threaded through the LPA frames) — per member bit-identical to
-    # the sequential label_propagation(salt=...) calls, at a third of
-    # the fixed-point scheduling/checkpoint barriers
-    labels = label_propagation_ensemble(edges, CONSENSUS_SALTS)
+def _ensemble_votes(edges: DataFrame, salts: tuple[str, ...]) -> DataFrame:
+    """Co-assignment vote counts (i, j, votes) over the salted LPA
+    ensemble, i < j: how many members co-clustered the pair. ONE fused
+    round loop for the whole ensemble (member dimension threaded
+    through the LPA frames) — per member bit-identical to sequential
+    label_propagation(salt=...) calls at a fraction of the fixed-point
+    scheduling/checkpoint barriers. Pairs expand MAP-SIDE from
+    per-(member, community) sorted member lists (lexicon-bounded)."""
+    labels = label_propagation_ensemble(edges, salts)
     grouped = labels.groupBy("member", "community").agg(
         F.array_sort(F.collect_set("id")).alias("ms")
     )
@@ -323,16 +307,54 @@ def skill_communities_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     co = grouped.select(F.explode(pair_arr).alias("p")).select(
         F.col("p.i").alias("i"), F.col("p.j").alias("j")
     )
+    return co.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("votes")
+    )
+
+
+def _consensus_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    salts: tuple[str, ...],
+    min_agree: int = CONSENSUS_MIN_AGREE,
+) -> DataFrame:
+    """The reference's full ConsensusClustering shape
+    (cluster_utils.py:23): ensemble → majority co-assignment edges →
+    connected components. Returns (id, community) for EVERY node in
+    ``nodes`` (isolates are their own singleton community)."""
+    from ..operators.dedup import connected_components
 
     consensus = (
-        co.groupBy("i", "j")
-        .agg(F.count(F.lit(1)).alias("votes"))
-        .where(F.col("votes") >= CONSENSUS_MIN_AGREE)
+        _ensemble_votes(edges, salts)
+        .where(F.col("votes") >= min_agree)
         .select(F.col("i").alias("first_id"), F.col("j").alias("second_id"))
     )
     comps = connected_components(consensus, nodes, id_col="id")
+    return comps.select("id", F.col("component_id").alias("community"))
+
+
+@register("skill_communities_consensus", oracle=_consensus_oracle())
+def skill_communities_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consensus clustering over an LPA ensemble — the reference's
+    actual taxonomy-build shape (cluster_utils.py:23
+    ConsensusClustering: run N clusterings, keep pairs the majority
+    agrees on, take components of the consensus graph).
+
+    Scale shape: the co-occurrence edge set is built ONCE and
+    checkpointed inside each LPA call; co-assignment pairs expand
+    map-side from per-community sorted member lists (communities are
+    lexicon-bounded); the ≥2-vote consensus is one narrow (i, j)
+    count; final components reuse the dedup CC loop. Every stage is
+    deterministic, so the whole ensemble hash-matches its unrolled SQL.
+    """
+    edges = skill_cooc_edges(spark, sf_dir).transform(cut_lineage)
+    nodes = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .transform(cut_lineage)
+    )
+    comps = _consensus_components(edges, nodes, CONSENSUS_SALTS)
     return comps.select(
-        F.col("id").alias("skill"), F.col("component_id").alias("community")
+        F.col("id").alias("skill"), "community"
     ).orderBy("community", "skill")
 
 
@@ -544,3 +566,334 @@ def consensus_partition_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_eps(F.col("mean_nmi"), 6).alias("mean_nmi"),
         (F.col("rk") == 1).alias("selected"),
     ).orderBy("member")
+
+
+# ---------------------------------------------------------------- A41
+
+# The reference's HIERARCHICAL CLUSTERING PIPELINE
+# (cluster_utils.py:674 subcluster_nodes + :886 collect_subclusters):
+# take the level-l consensus partition, induce each cluster's subgraph,
+# re-run the full ensemble→consensus procedure INSIDE each cluster with
+# fresh seeds, and collect the per-cluster subpartitions into the
+# level-(l+1) table. Distinct salts play the reference's fresh
+# np.random seeds; identical ensemble/consensus machinery otherwise.
+SUBCLUSTER_SALTS = ("s0", "s1", "s2")
+
+
+def _graph_head_sql() -> str:
+    """The shared lexicon→edges→nodes CTE block, RECURSIVE-enabled and
+    MATERIALIZED (these CTEs are referenced many times; DuckDB inlines
+    plain CTEs per reference, which re-expands unrolled LPA chains
+    multiplicatively — the A40 lesson)."""
+    head = _skill_communities_oracle().split("l0 AS")[0]
+    head = head.replace("WITH toks AS", "WITH RECURSIVE toks AS", 1)
+    for cte in ("toks", "lexicon", "doc_forms", "cooc", "knn", "edges",
+                "nodes"):
+        head = head.replace(f"{cte} AS (", f"{cte} AS MATERIALIZED (", 1)
+    return head
+
+
+def _ensemble_runs_sql(
+    salts: tuple[str, ...],
+    tag: str,
+    edges: str = "edges",
+    nodes: str = "nodes",
+) -> str:
+    """All of an ensemble's unrolled LPA runs, finals MATERIALIZED
+    (each final is referenced twice by the co-assignment self-join)."""
+    runs = "".join(
+        _lpa_run_sql(salt, f"_{tag}{k}", edges=edges, nodes=nodes)
+        for k, salt in enumerate(salts)
+    )
+    for k in range(len(salts)):
+        runs = runs.replace(
+            f"l{LPA_ITERS}_{tag}{k} AS (",
+            f"l{LPA_ITERS}_{tag}{k} AS MATERIALIZED (",
+            1,
+        )
+    return runs
+
+
+def _co_pairs_sql(n_members: int, tag: str) -> str:
+    """Per-member co-assignment pair selection over the finals."""
+    return "\nUNION ALL\n".join(
+        f"""SELECT a.id AS i, b.id AS j
+  FROM l{LPA_ITERS}_{tag}{k} a JOIN l{LPA_ITERS}_{tag}{k} b
+    ON a.lbl = b.lbl AND a.id < b.id"""
+        for k in range(n_members)
+    )
+
+
+def _consensus_close_sql(tag: str, nodes: str, min_agree: int) -> str:
+    """votes → majority edges → symmetric closure → min-id partition;
+    emits part_{tag}(id, community)."""
+    return f"""co_{tag} AS (
+{_co_pairs_sql(len(CONSENSUS_SALTS), tag)}
+),
+consensus_{tag} AS (
+  SELECT i, j FROM co_{tag} GROUP BY i, j
+  HAVING COUNT(*) >= {min_agree}
+),
+ce_{tag} AS (
+  SELECT i AS x, j AS y FROM consensus_{tag}
+  UNION ALL
+  SELECT j AS x, i AS y FROM consensus_{tag}
+),
+reach_{tag} AS (
+  SELECT id AS v, id AS w FROM {nodes}
+  UNION
+  SELECT r.v, e.y FROM reach_{tag} r JOIN ce_{tag} e ON r.w = e.x
+),
+part_{tag} AS MATERIALIZED (
+  SELECT v AS id, MIN(w) AS community FROM reach_{tag} GROUP BY v
+),
+"""
+
+
+def _subclusters_oracle() -> str:
+    runs1 = _ensemble_runs_sql(CONSENSUS_SALTS, "a")
+    runs2 = _ensemble_runs_sql(
+        SUBCLUSTER_SALTS, "b", edges="sub_edges", nodes="sub_nodes"
+    )
+    sql = f"""{_graph_head_sql()}{runs1}{_consensus_close_sql(
+        "a", "nodes", CONSENSUS_MIN_AGREE
+    )}sub_edges AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w FROM edges e
+  JOIN part_a pa ON e.src = pa.id
+  JOIN part_a pb ON e.dst = pb.id
+  WHERE pa.community = pb.community
+),
+sub_nodes AS (SELECT id FROM nodes),
+{runs2}{_consensus_close_sql("b", "sub_nodes", CONSENSUS_MIN_AGREE)}"""
+    sql = sql.rstrip().rstrip(",")
+    return sql + """
+SELECT p1.id AS skill, p1.community AS community,
+       p2.community AS subcommunity
+FROM part_a p1 JOIN part_b p2 ON p1.id = p2.id
+ORDER BY p1.community, subcommunity, skill
+"""
+
+
+@register("skill_taxonomy_subclusters", oracle=_subclusters_oracle())
+def skill_taxonomy_subclusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's recursive second-level clustering
+    (cluster_utils.py:674 ``subcluster_nodes`` + :886
+    ``collect_subclusters``): the level-1 consensus partition's
+    clusters are each split further by re-running the full
+    ensemble→consensus procedure on the cluster's INDUCED subgraph,
+    and the per-cluster subpartitions are collected into one
+    level-2 table (skill, community, subcommunity).
+
+    Where the reference loops clusters on the driver (one igraph
+    ensemble per cluster), the engine runs ALL induced subgraphs in
+    ONE fused ensemble pass: intra-community edges never cross
+    clusters, so label propagation on the union of induced subgraphs
+    is exactly the per-cluster loop — the `member` thread of
+    label_propagation_ensemble carries the fresh-seed ensemble and the
+    final components stay within their parent community by
+    construction. Nodes isolated inside their community become
+    singleton subcommunities (the reference's small clusters likewise
+    split to singletons).
+
+    Scale shape: two consensus rounds over the lexicon-bounded graph;
+    the only new shuffle vs A36 is the broadcast-joined edge induction
+    (level-1 labels are dimension-sized) and the second CC loop.
+    """
+    edges = skill_cooc_edges(spark, sf_dir).transform(cut_lineage)
+    nodes = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .transform(cut_lineage)
+    )
+    level1 = _consensus_components(edges, nodes, CONSENSUS_SALTS).transform(
+        cut_lineage
+    )
+    lab_src = level1.select(
+        F.col("id").alias("src"), F.col("community").alias("c_src")
+    )
+    lab_dst = level1.select(
+        F.col("id").alias("dst"), F.col("community").alias("c_dst")
+    )
+    sub_edges = (
+        edges.join(F.broadcast(lab_src), "src")
+        .join(F.broadcast(lab_dst), "dst")
+        .where(F.col("c_src") == F.col("c_dst"))
+        .select("src", "dst", "weight")
+    )
+    level2 = _consensus_components(sub_edges, nodes, SUBCLUSTER_SALTS)
+    return (
+        level1.join(
+            level2.withColumnRenamed("community", "subcommunity"), "id"
+        )
+        .select(F.col("id").alias("skill"), "community", "subcommunity")
+        .orderBy("community", "subcommunity", "skill")
+    )
+
+
+# ---------------------------------------------------------------- A42
+
+# cluster_utils.py:437 node_affinity: each node's affinity to every
+# cluster = the MEAN co-clustering occurrence between the node and the
+# cluster's members (ensemble votes / N, missing pairs count 0, the
+# node's self co-occurrence is 1), optionally row-normalised — the
+# membership-confidence QC score the skills-taxonomy notebooks plot.
+
+
+def _node_affinity_oracle() -> str:
+    from ..functions.rounding import sql_round
+
+    n = len(CONSENSUS_SALTS)
+    runs1 = _ensemble_runs_sql(CONSENSUS_SALTS, "a")
+    return f"""{_graph_head_sql()}{runs1}co_a AS (
+{_co_pairs_sql(n, "a")}
+),
+votes AS MATERIALIZED (
+  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS v FROM co_a GROUP BY i, j
+),
+consensus_a AS (SELECT i, j FROM votes WHERE v >= {CONSENSUS_MIN_AGREE}),
+ce_a AS (
+  SELECT i AS x, j AS y FROM consensus_a
+  UNION ALL
+  SELECT j AS x, i AS y FROM consensus_a
+),
+reach_a AS (
+  SELECT id AS v, id AS w FROM nodes
+  UNION
+  SELECT r.v, e.y FROM reach_a r JOIN ce_a e ON r.w = e.x
+),
+part_a AS MATERIALIZED (
+  SELECT v AS id, MIN(w) AS community FROM reach_a GROUP BY v
+),
+vsym AS (
+  SELECT i, j, v FROM votes
+  UNION ALL
+  SELECT j AS i, i AS j, v FROM votes
+  UNION ALL
+  SELECT id AS i, id AS j, CAST({n} AS BIGINT) AS v FROM nodes
+),
+sizes AS (
+  SELECT community, CAST(COUNT(*) AS BIGINT) AS csize
+  FROM part_a GROUP BY community
+),
+cells AS (
+  SELECT nd.id, cl.community
+  FROM nodes nd CROSS JOIN (SELECT DISTINCT community FROM part_a) cl
+),
+sums AS (
+  SELECT s.i AS id, l.community, SUM(s.v) AS sv
+  FROM vsym s JOIN part_a l ON s.j = l.id
+  GROUP BY 1, 2
+),
+raw AS (
+  SELECT c.id, c.community,
+         COALESCE(m.sv, 0) * 1.0 / ({n} * z.csize) AS aff
+  FROM cells c
+  LEFT JOIN sums m ON m.id = c.id AND m.community = c.community
+  JOIN sizes z ON z.community = c.community
+),
+nrm AS (
+  SELECT id, community, aff,
+         aff / SUM(aff) OVER (PARTITION BY id) AS affn
+  FROM raw
+)
+SELECT r.id AS skill, r.community AS cluster,
+       (o.community = r.community) AS is_own,
+       {sql_round('aff', 6)} AS affinity,
+       {sql_round('affn', 6)} AS affinity_norm
+FROM nrm r JOIN part_a o ON o.id = r.id
+ORDER BY skill, cluster
+"""
+
+
+@register("node_affinity_audit", oracle=_node_affinity_oracle())
+def node_affinity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node cluster-membership confidence — the reference's
+    ``node_affinity`` (cluster_utils.py:437): affinity(i, c) is the
+    mean ensemble co-clustering occurrence between node i and cluster
+    c's members (votes / N over ALL of c's members, absent pairs 0,
+    self-occurrence 1), plus the row-normalised variant its
+    ``normalise=True`` mode returns. ``is_own`` marks the node's own
+    consensus cluster — a low own-cluster affinity is the reference
+    notebooks' signal of an unstable assignment.
+
+    Scale shape: the votes frame is the SAME co-assignment aggregate
+    A36 builds (computed once, checkpointed, reused for the consensus
+    partition AND the affinity sums); the node×cluster affinity grid
+    is lexicon×communities — dimension-scale, dense by construction
+    like the reference's matrix; the per-node normaliser is a window
+    over ≤|communities| rows.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.rounding import round_eps
+    from ..operators.dedup import connected_components
+
+    n = len(CONSENSUS_SALTS)
+    edges = skill_cooc_edges(spark, sf_dir).transform(cut_lineage)
+    nodes = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .transform(cut_lineage)
+    )
+    votes = _ensemble_votes(edges, CONSENSUS_SALTS).transform(cut_lineage)
+    consensus = votes.where(F.col("votes") >= CONSENSUS_MIN_AGREE).select(
+        F.col("i").alias("first_id"), F.col("j").alias("second_id")
+    )
+    level1 = (
+        connected_components(consensus, nodes, id_col="id")
+        .select("id", F.col("component_id").alias("community"))
+        .transform(cut_lineage)
+    )
+
+    vsym = (
+        votes.select("i", "j", F.col("votes").alias("v"))
+        .unionByName(
+            votes.select(
+                F.col("j").alias("i"), F.col("i").alias("j"),
+                F.col("votes").alias("v"),
+            )
+        )
+        .unionByName(
+            nodes.select(
+                F.col("id").alias("i"), F.col("id").alias("j"),
+                F.lit(n).cast("bigint").alias("v"),
+            )
+        )
+    )
+    sums = (
+        vsym.join(
+            F.broadcast(level1.withColumnRenamed("id", "j")), "j"
+        )
+        .groupBy(F.col("i").alias("id"), "community")
+        .agg(F.sum("v").alias("sv"))
+    )
+    sizes = level1.groupBy("community").agg(
+        F.count(F.lit(1)).cast("bigint").alias("csize")
+    )
+    cells = nodes.crossJoin(
+        F.broadcast(level1.select("community").distinct())
+    )
+    raw = (
+        cells.join(F.broadcast(sums), ["id", "community"], "left")
+        .join(F.broadcast(sizes), "community")
+        .select(
+            "id",
+            "community",
+            (
+                F.coalesce(F.col("sv"), F.lit(0)) * 1.0
+                / (F.lit(n) * F.col("csize"))
+            ).alias("aff"),
+        )
+    )
+    w_node = Window.partitionBy("id")
+    nrm = raw.withColumn("affn", F.col("aff") / F.sum("aff").over(w_node))
+    own = level1.select("id", F.col("community").alias("own_community"))
+    return (
+        nrm.join(F.broadcast(own), "id")
+        .select(
+            F.col("id").alias("skill"),
+            F.col("community").alias("cluster"),
+            (F.col("own_community") == F.col("community")).alias("is_own"),
+            round_eps(F.col("aff"), 6).alias("affinity"),
+            round_eps(F.col("affn"), 6).alias("affinity_norm"),
+        )
+        .orderBy("skill", "cluster")
+    )

@@ -98,3 +98,43 @@ def test_nmi_argmax_matches_true_ami_argmax(spark, sf_dir):
         f"NMI selector picked {nmi_argmax[0]}, true-AMI selector picked "
         f"{ami_argmax}: mean AMI row {mean_ami}, scoreboard {sel}"
     )
+
+
+def test_subclusters_refine_level1_partition(spark, sf_dir):
+    """A41's hierarchy contract (cluster_utils.py:674 subcluster_nodes):
+    subcommunities REFINE the level-1 partition — every subcommunity
+    lies wholly inside one parent community, every level-1 node is
+    assigned, and the parent column equals A36's consensus partition."""
+    from ojo_daps_mirror_spark.plans import QUERIES
+
+    sub = QUERIES["skill_taxonomy_subclusters"](spark, sf_dir).collect()
+    lvl1 = {
+        r["skill"]: r["community"]
+        for r in QUERIES["skill_communities_consensus"](spark, sf_dir).collect()
+    }
+    assert {r["skill"] for r in sub} == set(lvl1)
+    parent_of_sub: dict[str, str] = {}
+    for r in sub:
+        assert r["community"] == lvl1[r["skill"]]
+        prev = parent_of_sub.setdefault(r["subcommunity"], r["community"])
+        assert prev == r["community"], "subcommunity crosses communities"
+
+
+def test_node_affinity_is_probability_like(spark, sf_dir):
+    """A42 (cluster_utils.py:437): rows normalise to ~1, raw affinity
+    is within [0, 1], exactly one own-cluster row per node, and a
+    node's self-vote makes its own-cluster affinity strictly positive."""
+    from collections import defaultdict
+
+    from ojo_daps_mirror_spark.plans import QUERIES
+
+    rows = QUERIES["node_affinity_audit"](spark, sf_dir).collect()
+    per_node = defaultdict(list)
+    for r in rows:
+        assert 0.0 <= r["affinity"] <= 1.0, r
+        per_node[r["skill"]].append(r)
+    for skill, rs in per_node.items():
+        own = [r for r in rs if r["is_own"]]
+        assert len(own) == 1, skill
+        assert own[0]["affinity"] > 0.0, skill
+        assert abs(sum(r["affinity_norm"] for r in rs) - 1.0) < 1e-4, skill

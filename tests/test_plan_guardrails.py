@@ -80,6 +80,7 @@ BNLJ_OK = {
     "ndcg_eval",  # declared all-pairs eval harness (C8's contract)
     "near_dup_adaptive",  # broadcast window dim, range condition
     "near_dup_windowed",  # broadcast window dim, range condition
+    "node_affinity_audit",  # lexicon x communities dense affinity grid zero-fill (the reference's matrix shape, cluster_utils.py:437)
     "neardup_transitivity_audit",  # exact threshold edge set
     "onebit_retrieval_agreement",  # exact cosine + Hamming top-k twins
     "pacf_durbin_levinson",  # banded |weeks|-dim self-join (acf's shape)
