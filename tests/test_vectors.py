@@ -253,3 +253,21 @@ def test_pca_power_iteration_matches_numpy(spark, sf_dir):
     got_v, got_lam = embedding_top_component(spark, sf_dir)
     assert abs(got_lam - lam) < 1e-6 * max(lam, 1.0)
     assert np.max(np.abs(np.abs(got_v) - np.abs(v))) < 1e-9
+
+
+def test_ivf_codebook_driver_state_is_capped():
+    """VERDICT r6 #5: every ANN-path driver collect is ≤ codebook_k(n)
+    rows, and codebook_k saturates at IVF_K_MAX — driver memory must
+    NOT grow with corpus size past n = IVF_K_MAX²."""
+    from ojo_daps_mirror_spark.plans.vector_plans import (
+        IVF_K_MAX,
+        IVF_K_MIN,
+        codebook_k,
+    )
+
+    assert codebook_k(10) == IVF_K_MIN
+    assert codebook_k(IVF_K_MAX**2) == IVF_K_MAX
+    # 1e10 vectors (≈100 TB of fp32-768): still the same ceiling
+    assert codebook_k(10_000_000_000) == IVF_K_MAX
+    # monotone below the cap (√n regime)
+    assert codebook_k(10_000) == 100
