@@ -738,9 +738,10 @@ def skill_taxonomy_subclusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # membership-confidence QC score the skills-taxonomy notebooks plot.
 
 
-def _node_affinity_oracle() -> str:
-    from ..functions.rounding import sql_round
-
+def _affinity_raw_sql() -> str:
+    """Shared SQL through the dense (node, cluster) raw-affinity grid:
+    graph head + level-1 ensemble/consensus + votes + `raw`/`part_a`
+    CTEs; finishers append their own aggregate + final SELECT."""
     n = len(CONSENSUS_SALTS)
     runs1 = _ensemble_runs_sql(CONSENSUS_SALTS, "a")
     return f"""{_graph_head_sql()}{runs1}co_a AS (
@@ -783,14 +784,20 @@ sums AS (
   FROM vsym s JOIN part_a l ON s.j = l.id
   GROUP BY 1, 2
 ),
-raw AS (
+raw AS MATERIALIZED (
   SELECT c.id, c.community,
          COALESCE(m.sv, 0) * 1.0 / ({n} * z.csize) AS aff
   FROM cells c
   LEFT JOIN sums m ON m.id = c.id AND m.community = c.community
   JOIN sizes z ON z.community = c.community
 ),
-nrm AS (
+"""
+
+
+def _node_affinity_oracle() -> str:
+    from ..functions.rounding import sql_round
+
+    return f"""{_affinity_raw_sql()}nrm AS (
   SELECT id, community, aff,
          aff / SUM(aff) OVER (PARTITION BY id) AS affn
   FROM raw
@@ -822,9 +829,29 @@ def node_affinity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     like the reference's matrix; the per-node normaliser is a window
     over ≤|communities| rows.
     """
-    from pyspark.sql.window import Window
-
     from ..functions.rounding import round_eps
+
+    raw, level1 = _affinity_grid(spark, sf_dir)
+    w_node = Window.partitionBy("id")
+    nrm = raw.withColumn("affn", F.col("aff") / F.sum("aff").over(w_node))
+    own = level1.select("id", F.col("community").alias("own_community"))
+    return (
+        nrm.join(F.broadcast(own), "id")
+        .select(
+            F.col("id").alias("skill"),
+            F.col("community").alias("cluster"),
+            (F.col("own_community") == F.col("community")).alias("is_own"),
+            round_eps(F.col("aff"), 6).alias("affinity"),
+            round_eps(F.col("affn"), 6).alias("affinity_norm"),
+        )
+        .orderBy("skill", "cluster")
+    )
+
+
+def _affinity_grid(spark: SparkSession, sf_dir: str):
+    """The dense (node, cluster) raw-affinity grid + the level-1
+    partition — shared by A42 (per-node view) and A43 (per-cluster
+    view). Returns (raw(id, community, aff), level1(id, community))."""
     from ..operators.dedup import connected_components
 
     n = len(CONSENSUS_SALTS)
@@ -883,17 +910,71 @@ def node_affinity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("aff"),
         )
     )
-    w_node = Window.partitionBy("id")
-    nrm = raw.withColumn("affn", F.col("aff") / F.sum("aff").over(w_node))
-    own = level1.select("id", F.col("community").alias("own_community"))
+    return raw, level1
+
+
+# ---------------------------------------------------------------- A43
+
+
+def _cluster_affinity_oracle() -> str:
+    from ..functions.rounding import sql_round
+
+    return f"""{_affinity_raw_sql()}cmat AS (
+  SELECT o.community AS ca, r.community AS cb, AVG(r.aff) AS aff
+  FROM raw r JOIN part_a o ON o.id = r.id
+  GROUP BY 1, 2
+)
+SELECT c1.ca AS cluster_a, c1.cb AS cluster_b,
+       {sql_round('c1.aff', 6)} AS affinity,
+       {sql_round('(c1.aff + c2.aff) / 2', 6)} AS affinity_sym,
+       (c1.ca = c1.cb) AS is_self
+FROM cmat c1 JOIN cmat c2 ON c1.ca = c2.cb AND c1.cb = c2.ca
+ORDER BY cluster_a, cluster_b
+"""
+
+
+@register("cluster_affinity_audit", oracle=_cluster_affinity_oracle())
+def cluster_affinity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-to-cluster affinity — the reference's
+    ``cluster_affinity_matrix`` (cluster_utils.py:517): C[k, l] is the
+    mean of cluster k's members' node affinities to cluster l, with
+    the ``symmetric=True`` variant (C + Cᵀ)/2 alongside. The diagonal
+    (``is_self`` rows) is the reference's ``list_cluster_stability``
+    (:602) — the per-cluster stability score the taxonomy notebooks
+    print. Closes the last computation in cluster_utils.py.
+
+    Scale shape: one aggregate over A42's dense lexicon×communities
+    grid (shared via _affinity_grid) down to the communities² matrix,
+    then a self-join on that dimension-scale frame for the transpose.
+    """
+    from ..functions.rounding import round_eps
+
+    raw, level1 = _affinity_grid(spark, sf_dir)
+    own = level1.select("id", F.col("community").alias("ca"))
+    cmat = (
+        raw.join(F.broadcast(own), "id")
+        .groupBy("ca", F.col("community").alias("cb"))
+        .agg(F.avg("aff").alias("aff"))
+        .transform(cut_lineage)
+    )
+    t = cmat.select(
+        F.col("ca").alias("cb2"),
+        F.col("cb").alias("ca2"),
+        F.col("aff").alias("aff_t"),
+    )
     return (
-        nrm.join(F.broadcast(own), "id")
-        .select(
-            F.col("id").alias("skill"),
-            F.col("community").alias("cluster"),
-            (F.col("own_community") == F.col("community")).alias("is_own"),
-            round_eps(F.col("aff"), 6).alias("affinity"),
-            round_eps(F.col("affn"), 6).alias("affinity_norm"),
+        cmat.join(
+            F.broadcast(t),
+            (F.col("ca") == F.col("ca2")) & (F.col("cb") == F.col("cb2")),
         )
-        .orderBy("skill", "cluster")
+        .select(
+            F.col("ca").alias("cluster_a"),
+            F.col("cb").alias("cluster_b"),
+            round_eps(F.col("aff"), 6).alias("affinity"),
+            round_eps((F.col("aff") + F.col("aff_t")) / 2, 6).alias(
+                "affinity_sym"
+            ),
+            (F.col("ca") == F.col("cb")).alias("is_self"),
+        )
+        .orderBy("cluster_a", "cluster_b")
     )

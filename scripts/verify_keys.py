@@ -4,18 +4,28 @@ Usage:
   python scripts/verify_keys.py key1 key2 ...  [--sf DIR]
   python scripts/verify_keys.py --all [--sf DIR] [--json OUT.json]
 
-Applies the same comparison shape as tests/test_duckdb_parity.py (and the
-driver's t2 gate): row count, sorted column names, order-insensitive
-6-dp-rounded values. ``--all`` sweeps every registered key (the driver
-samples only ~50/round; the per-round bench_out/parity_rNN.json artifact
-produced with --json gives the judge the other ~470) and writes one
-record per key: {status: ok|rows_only|mismatch..., rows: N}.
+Comparison shape = the DRIVER'S hash recipe (VERDICT r6 #6): columns
+sorted by name, both frames through pandas ``astype(str)`` with NO
+local rounding, rows sorted, md5 over the concatenation. Every
+cross-engine rounding a query needs must live IN the query (round_eps
+on the Spark side, sql_round in the oracle) — a rounding-boundary
+drift that would fail the external hash-match now fails here too,
+instead of being absorbed by a compare-side 6-dp round. Both value
+hashes are recorded per key so a mismatch is diffable.
+
+``--all`` sweeps every registered key (the driver samples only
+~50/round; the per-round bench_out/parity_rNN.json artifact produced
+with --json gives the judge the rest) and writes one record per key:
+{status: ok|rows_only|mismatch..., rows: N, value_hash: ...}.
 """
 
 from __future__ import annotations
 
-import math
+import hashlib
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
@@ -26,19 +36,19 @@ from ojo_daps_mirror_spark.sources import TABLES
 plans.load_all()
 
 
-def _normalise(rows, columns):
-    out = []
+def _canon(pdf, columns):
+    """Name-sorted columns → stringified values → sorted row tuples:
+    the driver's canonicalisation, no compare-side rounding."""
+    sub = pdf[columns].astype(str)
+    return sorted(map(tuple, sub.values.tolist()))
+
+
+def _value_hash(rows) -> str:
+    h = hashlib.md5()
     for row in rows:
-        vals = []
-        for c in columns:
-            v = row[c]
-            if isinstance(v, float):
-                v = round(v, 6)
-                if math.isnan(v):
-                    v = "NaN"
-            vals.append(str(v))
-        out.append(tuple(vals))
-    return sorted(out)
+        h.update("\x1f".join(row).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
 
 
 def verify_one(spark, con, key: str, sf: str) -> dict:
@@ -46,11 +56,11 @@ def verify_one(spark, con, key: str, sf: str) -> dict:
     try:
         sdf = plans.QUERIES[key](spark, sf)
         spark_cols = sorted(sdf.columns)
-        spark_rows = [r.asDict() for r in sdf.collect()]
+        spark_pdf = sdf.toPandas()
     except Exception as exc:  # noqa: BLE001
         return {"status": "spark_error", "err": f"{type(exc).__name__}: {exc}"[:200]}
     if key not in plans.ORACLES:
-        return {"status": "rows_only", "rows": len(spark_rows)}
+        return {"status": "rows_only", "rows": len(spark_pdf)}
     try:
         ddf = con.sql(plans.ORACLES[key]).df()
     except Exception as exc:  # noqa: BLE001
@@ -62,19 +72,24 @@ def verify_one(spark, con, key: str, sf: str) -> dict:
             "spark_cols": spark_cols,
             "oracle_cols": duck_cols,
         }
-    duck_rows = ddf.to_dict("records")
-    if len(spark_rows) != len(duck_rows):
+    if len(spark_pdf) != len(ddf):
         return {
             "status": "rowcount_mismatch",
-            "spark_rows": len(spark_rows),
-            "oracle_rows": len(duck_rows),
+            "spark_rows": len(spark_pdf),
+            "oracle_rows": len(ddf),
         }
-    left = _normalise(spark_rows, spark_cols)
-    right = _normalise(duck_rows, duck_cols)
-    if left != right:
+    left = _canon(spark_pdf, spark_cols)
+    right = _canon(ddf, duck_cols)
+    lh, rh = _value_hash(left), _value_hash(right)
+    if lh != rh:
         diff = [(a, b) for a, b in zip(left, right) if a != b][:2]
-        return {"status": "value_mismatch", "example": repr(diff)[:300]}
-    return {"status": "ok", "rows": len(spark_rows)}
+        return {
+            "status": "value_mismatch",
+            "spark_hash": lh,
+            "oracle_hash": rh,
+            "example": repr(diff)[:300],
+        }
+    return {"status": "ok", "rows": len(spark_pdf), "value_hash": lh}
 
 
 def main() -> int:

@@ -138,3 +138,26 @@ def test_node_affinity_is_probability_like(spark, sf_dir):
         assert len(own) == 1, skill
         assert own[0]["affinity"] > 0.0, skill
         assert abs(sum(r["affinity_norm"] for r in rs) - 1.0) < 1e-4, skill
+
+
+def test_cluster_affinity_matrix_contract(spark, sf_dir):
+    """A43 (cluster_utils.py:517): dense communities² matrix, the
+    symmetric variant actually symmetric, values in [0, 1], and the
+    diagonal (stability) at least as strong as the cluster's mean
+    affinity to any OTHER cluster (consensus clusters are the
+    majority-vote groups, so self-affinity dominates)."""
+    from ojo_daps_mirror_spark.plans import QUERIES
+
+    rows = QUERIES["cluster_affinity_audit"](spark, sf_dir).collect()
+    clusters = {r["cluster_a"] for r in rows}
+    assert len(rows) == len(clusters) ** 2
+    m = {(r["cluster_a"], r["cluster_b"]): r for r in rows}
+    for (a, b), r in m.items():
+        assert 0.0 <= r["affinity"] <= 1.0, r
+        assert abs(r["affinity_sym"] - m[(b, a)]["affinity_sym"]) < 1e-9
+        assert r["is_self"] == (a == b)
+    for a in clusters:
+        diag = m[(a, a)]["affinity"]
+        for b in clusters:
+            if b != a:
+                assert diag >= m[(a, b)]["affinity"], (a, b)

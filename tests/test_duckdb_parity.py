@@ -1,13 +1,14 @@
 """Local pre-flight of the driver's t2 correctness gate.
 
-Runs every registered query against its DuckDB oracle on sf0.001 and
-compares row count, column names, and order-insensitive values — the same
-comparison shape the driver applies at sf0.01.
+Runs every registered query against its DuckDB oracle on sf0.001 with
+the DRIVER'S comparison recipe (VERDICT r6 #6): row count, name-sorted
+columns, both frames stringified via pandas ``astype(str)`` with NO
+compare-side rounding, rows sorted. Every rounding a query needs must
+live in the query itself (round_eps / sql_round), so a rounding-
+boundary drift fails here exactly as it would fail externally.
 """
 
 from __future__ import annotations
-
-import math
 
 import pytest
 
@@ -18,35 +19,23 @@ plans.load_all()
 ORACLE_KEYS = sorted(plans.ORACLES)
 
 
-def _normalise(rows, columns):
-    out = []
-    for row in rows:
-        vals = []
-        for c in columns:
-            v = row[c]
-            if isinstance(v, float):
-                v = round(v, 6)
-                if math.isnan(v):
-                    v = "NaN"
-            vals.append(str(v))
-        out.append(tuple(vals))
-    return sorted(out)
+def _canon(pdf, columns):
+    return sorted(map(tuple, pdf[columns].astype(str).values.tolist()))
 
 
 @pytest.mark.parametrize("key", ORACLE_KEYS)
 def test_query_matches_oracle(spark, duck, sf_dir, key):
     sdf = plans.QUERIES[key](spark, sf_dir)
     spark_cols = sorted(sdf.columns)
-    spark_rows = [r.asDict() for r in sdf.collect()]
+    spark_pdf = sdf.toPandas()
 
     ddf = duck.sql(plans.ORACLES[key]).df()
     duck_cols = sorted(ddf.columns)
     assert spark_cols == duck_cols, f"{key}: column mismatch"
-    duck_rows = ddf.to_dict("records")
 
-    assert len(spark_rows) == len(duck_rows), f"{key}: row count mismatch"
-    left = _normalise(spark_rows, spark_cols)
-    right = _normalise(duck_rows, duck_cols)
+    assert len(spark_pdf) == len(ddf), f"{key}: row count mismatch"
+    left = _canon(spark_pdf, spark_cols)
+    right = _canon(ddf, duck_cols)
     assert left == right, (
         f"{key}: value mismatch\nspark: {left[:5]}\nduck:  {right[:5]}"
     )

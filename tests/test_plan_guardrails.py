@@ -81,6 +81,7 @@ BNLJ_OK = {
     "near_dup_adaptive",  # broadcast window dim, range condition
     "near_dup_windowed",  # broadcast window dim, range condition
     "node_affinity_audit",  # lexicon x communities dense affinity grid zero-fill (the reference's matrix shape, cluster_utils.py:437)
+    "cluster_affinity_audit",  # same grid (shared _affinity_grid), aggregated to communities^2
     "neardup_transitivity_audit",  # exact threshold edge set
     "onebit_retrieval_agreement",  # exact cosine + Hamming top-k twins
     "pacf_durbin_levinson",  # banded |weeks|-dim self-join (acf's shape)
