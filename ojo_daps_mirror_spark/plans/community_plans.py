@@ -288,9 +288,14 @@ def _ensemble_votes(edges: DataFrame, salts: tuple[str, ...]) -> DataFrame:
     round loop for the whole ensemble (member dimension threaded
     through the LPA frames) — per member bit-identical to sequential
     label_propagation(salt=...) calls at a fraction of the fixed-point
-    scheduling/checkpoint barriers. Pairs expand MAP-SIDE from
-    per-(member, community) sorted member lists (lexicon-bounded)."""
-    labels = label_propagation_ensemble(edges, salts)
+    scheduling/checkpoint barriers."""
+    return _votes_from_labels(label_propagation_ensemble(edges, salts))
+
+
+def _votes_from_labels(labels: DataFrame) -> DataFrame:
+    """(i, j, votes) from an ensemble label frame (member, id,
+    community). Pairs expand MAP-SIDE from per-(member, community)
+    sorted member lists (lexicon-bounded)."""
     grouped = labels.groupBy("member", "community").agg(
         F.array_sort(F.collect_set("id")).alias("ms")
     )
@@ -333,6 +338,97 @@ def _consensus_components(
     return comps.select("id", F.col("component_id").alias("community"))
 
 
+# Stage version: bump whenever any part's schema or build recipe
+# changes, so a shared-dir stage written by older code is never misread.
+_CONSENSUS_STAGE_VERSION = 1
+
+
+def _consensus_stage(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The consensus-clustering family's shared materialized stage.
+
+    Six keys (A34/A36/A40/A41/A42/A43) derive from the SAME chain:
+    document scan → co-occurrence kNN graph → fused LPA ensemble →
+    co-assignment votes → level-1 consensus components → level-2
+    subcluster components. Re-running that chain per query was the
+    family's whole cost — the only part that grows with the corpus is
+    the tokenize scan inside ``skill_cooc_edges`` (everything after it
+    is lexicon-bounded), and each key re-paid it, plus the ensemble's
+    scheduling barriers, from scratch.
+
+    Like the ExactSubstr suffix stage (operators/suffix.py), the chain
+    is materialized ONCE per (application, sf_dir, config version) via
+    operators/stagecache.py, each tier its own parquet part (the writes
+    double as the iterative builders' lineage cuts), and every family
+    key reads finished artifacts: at 100 TB this is one corpus scan and
+    one ensemble for the whole taxonomy + QC suite instead of six, and
+    the stage is exactly the intermediate a lake pipeline would keep
+    beside the corpus (the reference likewise builds its ensemble once
+    and derives the taxonomy, affinity and stability views from it —
+    cluster_utils.py:23 ConsensusClustering feeding :437/:517/:674).
+
+    Parts: ``edges`` (src, dst, weight), ``labels`` (member, id,
+    community — CONSENSUS_SALTS ensemble), ``votes`` (i, j, votes),
+    ``comps1`` (id, community), ``comps2`` (id, subcommunity —
+    SUBCLUSTER_SALTS ensemble on the comps1-induced subgraphs).
+    """
+    from ..operators.stagecache import materialized_stage
+
+    def b_edges(parts: dict[str, DataFrame]) -> DataFrame:
+        return skill_cooc_edges(spark, sf_dir)
+
+    def b_labels(parts: dict[str, DataFrame]) -> DataFrame:
+        return label_propagation_ensemble(parts["edges"], CONSENSUS_SALTS)
+
+    def b_votes(parts: dict[str, DataFrame]) -> DataFrame:
+        return _votes_from_labels(parts["labels"])
+
+    def b_comps1(parts: dict[str, DataFrame]) -> DataFrame:
+        from ..operators.dedup import connected_components
+
+        nodes = parts["edges"].select(F.col("src").alias("id")).distinct()
+        consensus = (
+            parts["votes"]
+            .where(F.col("votes") >= CONSENSUS_MIN_AGREE)
+            .select(F.col("i").alias("first_id"), F.col("j").alias("second_id"))
+        )
+        comps = connected_components(consensus, nodes, id_col="id")
+        return comps.select("id", F.col("component_id").alias("community"))
+
+    def b_comps2(parts: dict[str, DataFrame]) -> DataFrame:
+        level1 = parts["comps1"]
+        lab_src = level1.select(
+            F.col("id").alias("src"), F.col("community").alias("c_src")
+        )
+        lab_dst = level1.select(
+            F.col("id").alias("dst"), F.col("community").alias("c_dst")
+        )
+        sub_edges = (
+            parts["edges"]
+            .join(F.broadcast(lab_src), "src")
+            .join(F.broadcast(lab_dst), "dst")
+            .where(F.col("c_src") == F.col("c_dst"))
+            .select("src", "dst", "weight")
+        )
+        level2 = _consensus_components(
+            sub_edges, level1.select("id"), SUBCLUSTER_SALTS
+        )
+        return level2.withColumnRenamed("community", "subcommunity")
+
+    return materialized_stage(
+        spark,
+        "consensus",
+        _CONSENSUS_STAGE_VERSION,
+        sf_dir,
+        [
+            ("edges", b_edges),
+            ("labels", b_labels),
+            ("votes", b_votes),
+            ("comps1", b_comps1),
+            ("comps2", b_comps2),
+        ],
+    )
+
+
 @register("skill_communities_consensus", oracle=_consensus_oracle())
 def skill_communities_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consensus clustering over an LPA ensemble — the reference's
@@ -340,19 +436,16 @@ def skill_communities_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ConsensusClustering: run N clusterings, keep pairs the majority
     agrees on, take components of the consensus graph).
 
-    Scale shape: the co-occurrence edge set is built ONCE and
-    checkpointed inside each LPA call; co-assignment pairs expand
-    map-side from per-community sorted member lists (communities are
+    Scale shape: the whole chain (scan → graph → fused ensemble →
+    votes → components) lives in the family's shared materialized
+    stage (_consensus_stage) — built once per session/sf_dir, read by
+    every consensus-family key; co-assignment pairs expand map-side
+    from per-community sorted member lists (communities are
     lexicon-bounded); the ≥2-vote consensus is one narrow (i, j)
     count; final components reuse the dedup CC loop. Every stage is
     deterministic, so the whole ensemble hash-matches its unrolled SQL.
     """
-    edges = skill_cooc_edges(spark, sf_dir).transform(cut_lineage)
-    nodes = (
-        edges.select(F.col("src").alias("id")).distinct()
-        .transform(cut_lineage)
-    )
-    comps = _consensus_components(edges, nodes, CONSENSUS_SALTS)
+    comps = _consensus_stage(spark, sf_dir)["comps1"]
     return comps.select(
         F.col("id").alias("skill"), "community"
     ).orderBy("community", "skill")
@@ -468,26 +561,26 @@ def consensus_partition_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers; MI/H/NMI are the identical double trees in both
     engines over those integers, rounded at 6dp.
 
-    Scale shape: each member is one LPA over the checkpointed
-    lexicon-bounded graph (the cost A34/A36 already pay); every NMI
-    runs on |communities|^2-at-most contingency cells; the scoreboard
-    is a 3-row frame.
+    Scale shape: the ensemble label frame comes straight from the
+    family's shared materialized stage (_consensus_stage — the scan,
+    graph build and fused LPA loop are paid once per session, not per
+    key); every NMI runs on |communities|^2-at-most contingency cells;
+    the scoreboard is a 3-row frame.
     """
     from ..functions.rounding import round_eps
     from ..operators.attach import attach_scalars
 
-    edges = skill_cooc_edges(spark, sf_dir).transform(cut_lineage)
-    nodes = edges.select(F.col("src").alias("id")).distinct()
+    stage = _consensus_stage(spark, sf_dir)
+    nodes = stage["comps1"].select("id")
     nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
 
-    # ensemble advanced in ONE fused round loop (see A36) — members[k]
-    # is a narrow filter of the checkpointed (member, id, community)
-    # frame, bit-identical to the per-salt sequential runs
-    ensemble = label_propagation_ensemble(edges, CONSENSUS_SALTS)
+    # members[k] is a narrow filter of the stage's parquet-backed
+    # (member, id, community) frame — bit-identical to the per-salt
+    # sequential runs, no per-key ensemble recompute
+    ensemble = stage["labels"]
     members = [
         ensemble.where(F.col("member") == k)
         .select("id", F.col("community").alias(f"lbl{k}"))
-        .transform(cut_lineage)
         for k in range(len(CONSENSUS_SALTS))
     ]
 
@@ -695,35 +788,17 @@ def skill_taxonomy_subclusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     singleton subcommunities (the reference's small clusters likewise
     split to singletons).
 
-    Scale shape: two consensus rounds over the lexicon-bounded graph;
-    the only new shuffle vs A36 is the broadcast-joined edge induction
-    (level-1 labels are dimension-sized) and the second CC loop.
+    Scale shape: both consensus rounds (level-1 components, induced
+    sub-edges, level-2 components) are parts of the family's shared
+    materialized stage (_consensus_stage) — this key is one join of
+    two finished lexicon-sized parquet parts; the only new shuffle the
+    stage pays vs A36 is the broadcast-joined edge induction (level-1
+    labels are dimension-sized) and the second CC loop, paid once per
+    session rather than per key.
     """
-    edges = skill_cooc_edges(spark, sf_dir).transform(cut_lineage)
-    nodes = (
-        edges.select(F.col("src").alias("id")).distinct()
-        .transform(cut_lineage)
-    )
-    level1 = _consensus_components(edges, nodes, CONSENSUS_SALTS).transform(
-        cut_lineage
-    )
-    lab_src = level1.select(
-        F.col("id").alias("src"), F.col("community").alias("c_src")
-    )
-    lab_dst = level1.select(
-        F.col("id").alias("dst"), F.col("community").alias("c_dst")
-    )
-    sub_edges = (
-        edges.join(F.broadcast(lab_src), "src")
-        .join(F.broadcast(lab_dst), "dst")
-        .where(F.col("c_src") == F.col("c_dst"))
-        .select("src", "dst", "weight")
-    )
-    level2 = _consensus_components(sub_edges, nodes, SUBCLUSTER_SALTS)
+    stage = _consensus_stage(spark, sf_dir)
     return (
-        level1.join(
-            level2.withColumnRenamed("community", "subcommunity"), "id"
-        )
+        stage["comps1"].join(stage["comps2"], "id")
         .select(F.col("id").alias("skill"), "community", "subcommunity")
         .orderBy("community", "subcommunity", "skill")
     )
@@ -851,24 +926,14 @@ def node_affinity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _affinity_grid(spark: SparkSession, sf_dir: str):
     """The dense (node, cluster) raw-affinity grid + the level-1
     partition — shared by A42 (per-node view) and A43 (per-cluster
-    view). Returns (raw(id, community, aff), level1(id, community))."""
-    from ..operators.dedup import connected_components
-
+    view). Returns (raw(id, community, aff), level1(id, community)).
+    votes/comps come from the family's shared materialized stage, so
+    neither audit re-pays the scan/ensemble/CC chain."""
     n = len(CONSENSUS_SALTS)
-    edges = skill_cooc_edges(spark, sf_dir).transform(cut_lineage)
-    nodes = (
-        edges.select(F.col("src").alias("id")).distinct()
-        .transform(cut_lineage)
-    )
-    votes = _ensemble_votes(edges, CONSENSUS_SALTS).transform(cut_lineage)
-    consensus = votes.where(F.col("votes") >= CONSENSUS_MIN_AGREE).select(
-        F.col("i").alias("first_id"), F.col("j").alias("second_id")
-    )
-    level1 = (
-        connected_components(consensus, nodes, id_col="id")
-        .select("id", F.col("component_id").alias("community"))
-        .transform(cut_lineage)
-    )
+    stage = _consensus_stage(spark, sf_dir)
+    votes = stage["votes"]
+    level1 = stage["comps1"]
+    nodes = level1.select("id")
 
     vsym = (
         votes.select("i", "j", F.col("votes").alias("v"))
