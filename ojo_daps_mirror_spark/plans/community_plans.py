@@ -571,21 +571,34 @@ def consensus_partition_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.attach import attach_scalars
 
     stage = _consensus_stage(spark, sf_dir)
-    nodes = stage["comps1"].select("id")
-    nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
 
-    # members[k] is a narrow filter of the stage's parquet-backed
-    # (member, id, community) frame — bit-identical to the per-salt
-    # sequential runs, no per-key ensemble recompute
-    ensemble = stage["labels"]
+    # ONE wide (id, lbl0..lblN) frame instead of N filtered member
+    # frames: the stage's label part is read once and pivoted by a
+    # single lexicon-grain aggregate, so every contingency table is a
+    # group-by of this tiny checkpointed frame rather than a member×
+    # member self-join — the NMI tree loses all its id-joins and the
+    # analyzer/codegen cost that came with them. Counts (and therefore
+    # every downstream double) are identical to the join form.
+    wide = (
+        stage["labels"]
+        .groupBy("id")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("member") == k, F.col("community"))
+                ).alias(f"lbl{k}")
+                for k in range(len(CONSENSUS_SALTS))
+            ]
+        )
+        .transform(cut_lineage)
+    )
+    nn = wide.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
     members = [
-        ensemble.where(F.col("member") == k)
-        .select("id", F.col("community").alias(f"lbl{k}"))
-        for k in range(len(CONSENSUS_SALTS))
+        wide.select("id", f"lbl{k}") for k in range(len(CONSENSUS_SALTS))
     ]
 
     def entropy(k: int) -> DataFrame:
-        cnts = members[k].groupBy(f"lbl{k}").agg(
+        cnts = wide.groupBy(f"lbl{k}").agg(
             F.count(F.lit(1)).cast("bigint").alias("cnt")
         )
         return attach_scalars(cnts, nn).agg(
@@ -597,8 +610,7 @@ def consensus_partition_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def nmi(a: int, b: int) -> DataFrame:
         cont = (
-            members[a].join(members[b], "id")
-            .groupBy(f"lbl{a}", f"lbl{b}")
+            wide.groupBy(f"lbl{a}", f"lbl{b}")
             .agg(F.count(F.lit(1)).cast("bigint").alias("nij"))
         )
         ma = cont.groupBy(f"lbl{a}").agg(F.sum("nij").alias("ai"))
