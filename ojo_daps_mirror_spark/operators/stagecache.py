@@ -59,6 +59,31 @@ _swept = False
 Builder = Callable[[dict[str, DataFrame]], DataFrame]
 
 
+def input_fingerprint(path: str) -> str:
+    """Cheap content fingerprint of an input parquet file/dir: total
+    bytes + freshest mtime (seconds). Callers fold this into their
+    stage ``key`` so overwriting the input within one application keys
+    a fresh build instead of serving a stale stage. Pure file-metadata
+    arithmetic — no Spark job; on a lake deployment the same role is
+    played by a table snapshot/version id."""
+    size = 0
+    mtime = 0.0
+    if os.path.isdir(path):
+        for root, _, files in os.walk(path):
+            for f in files:
+                p = os.path.join(root, f)
+                try:
+                    st = os.stat(p)
+                except OSError:
+                    continue
+                size += st.st_size
+                mtime = max(mtime, st.st_mtime)
+    elif os.path.exists(path):
+        st = os.stat(path)
+        size, mtime = st.st_size, st.st_mtime
+    return f"{size}_{int(mtime)}"
+
+
 def _sweep_stale() -> None:
     """Remove ojo_stage_* temp dirs whose owning app is long gone.
 

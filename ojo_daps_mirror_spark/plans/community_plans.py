@@ -15,6 +15,8 @@ the DuckDB oracle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -370,8 +372,19 @@ def _consensus_stage(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     community — CONSENSUS_SALTS ensemble), ``votes`` (i, j, votes),
     ``comps1`` (id, community), ``comps2`` (id, subcommunity —
     SUBCLUSTER_SALTS ensemble on the comps1-induced subgraphs).
+
+    The stage key includes a cheap fingerprint of the input table
+    (documents.parquet total bytes + freshest mtime), so overwriting
+    the sf_dir's data WITHIN one application (replica stress harnesses
+    rebuild in place; a lake pipeline re-lands a partition) can never
+    serve a stale stage — the changed fingerprint simply keys a fresh
+    build. File-metadata arithmetic only, no Spark job.
     """
-    from ..operators.stagecache import materialized_stage
+    from ..operators.stagecache import input_fingerprint, materialized_stage
+
+    key = sf_dir + "|" + input_fingerprint(
+        os.path.join(sf_dir, "documents.parquet")
+    )
 
     def b_edges(parts: dict[str, DataFrame]) -> DataFrame:
         return skill_cooc_edges(spark, sf_dir)
@@ -418,7 +431,7 @@ def _consensus_stage(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         spark,
         "consensus",
         _CONSENSUS_STAGE_VERSION,
-        sf_dir,
+        key,
         [
             ("edges", b_edges),
             ("labels", b_labels),

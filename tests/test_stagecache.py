@@ -143,6 +143,22 @@ def test_heartbeat_refreshes_stage_and_parent(spark, tmp_path, monkeypatch):
     assert now - os.path.getmtime(base) < 600
 
 
+def test_input_fingerprint_tracks_data_changes(tmp_path):
+    """Overwriting the input within one application must key a FRESH
+    stage: the fingerprint changes with content size or mtime."""
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    f = d / "part-0"
+    f.write_bytes(b"x" * 10)
+    fp1 = stagecache.input_fingerprint(str(d))
+    f.write_bytes(b"y" * 20)  # size change
+    assert stagecache.input_fingerprint(str(d)) != fp1
+    fp2 = stagecache.input_fingerprint(str(d))
+    t = time.time() + 5
+    os.utime(f, (t, t))  # same bytes, re-landed later
+    assert stagecache.input_fingerprint(str(d)) != fp2
+
+
 def test_consensus_stage_parts_consistent(spark, sf_dir):
     """The consensus family's stage: every part present, comps1/comps2
     cover the same node set, and comps2 refines comps1 (every
