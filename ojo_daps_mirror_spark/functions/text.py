@@ -51,6 +51,20 @@ def shingles(toks: Column, k: int = 3) -> Column:
     )
 
 
+def raw_shingles(toks: Column, k: int = 3) -> Column:
+    """POSITIONAL k-word shingles — ``shingles`` without the distinct,
+    in document order. Two properties the distinct form lacks: the
+    shingle list of a token-PREFIX is a prefix of this list (so a
+    truncation variant needs no second shingle/hash pass), and any
+    min/max over per-shingle hashes is unchanged by the missing dedup
+    (duplicates never change a min)."""
+    cur = toks
+    for off in range(1, k):
+        shifted = F.slice(toks, off + 1, F.greatest(F.size(toks) - off, F.lit(0)))
+        cur = F.zip_with(cur, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.slice(cur, 1, F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+
+
 def hash64(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
 

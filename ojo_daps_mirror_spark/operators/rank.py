@@ -141,6 +141,88 @@ def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:
     )
 
 
+def attach_prev_next(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    prev_map: Mapping[str, str],
+    next_map: Mapping[str, str],
+    persist: bool = False,
+) -> DataFrame:
+    """df + the LAG-1 values of ``prev_map`` columns AND the LEAD-1
+    values of ``next_map`` columns over one global total order, with no
+    unpartitioned window: attach_prev's range-partitioned plan plus the
+    symmetric boundary handoff on the lead side (each partition's FIRST
+    row ships to the previous non-empty partition's LAST row through
+    the same |partitions|-row frame). One range exchange, one sorted
+    window pass, one tiny per-partition bounds aggregate — the lead
+    side rides the exchange the lag side already pays for.
+
+    First row of the whole order gets NULL prevs; last row gets NULL
+    nexts — exactly ``F.lag`` / ``F.lead`` over a global window.
+    """
+    prev_map = dict(prev_map)
+    next_map = dict(next_map)
+    tagged = _tag_range_partitions(df, order_cols, persist)
+    w_loc = Window.partitionBy(_PID).orderBy(*[F.col(c) for c in order_cols])
+    w_all = Window.partitionBy(_PID)
+    local = tagged.select(
+        "*",
+        F.row_number().over(w_loc).alias("__rnloc__"),
+        F.count(F.lit(1)).over(w_all).alias("__cntloc__"),
+        *[
+            F.lag(src).over(w_loc).alias(out)
+            for out, src in prev_map.items()
+        ],
+        *[
+            F.lead(src).over(w_loc).alias(out)
+            for out, src in next_map.items()
+        ],
+    )
+    ordkey = F.struct(*[F.col(c) for c in order_cols])
+    bounds = tagged.groupBy(_PID).agg(
+        F.max_by(
+            F.struct(
+                *[F.col(src).alias(out) for out, src in prev_map.items()]
+            ),
+            ordkey,
+        ).alias("__last__"),
+        F.min_by(
+            F.struct(
+                *[F.col(src).alias(out) for out, src in next_map.items()]
+            ),
+            ordkey,
+        ).alias("__firstrow__"),
+    )
+    # lag/lead over the tiny non-empty-partition frame: the previous
+    # non-empty partition's last row feeds this partition's first row,
+    # and the next non-empty partition's first row feeds this
+    # partition's last row
+    wp = Window.orderBy(_PID)
+    carry = bounds.select(
+        _PID,
+        F.lag("__last__").over(wp).alias("__carryp__"),
+        F.lead("__firstrow__").over(wp).alias("__carryn__"),
+    )
+    joined = local.join(F.broadcast(carry), _PID)
+    cols = [F.col(c) for c in df.columns]
+    cols += [
+        F.when(F.col("__rnloc__") == 1, F.col(f"__carryp__.{out}"))
+        .otherwise(F.col(out))
+        .alias(out)
+        for out in prev_map
+    ]
+    cols += [
+        F.when(
+            F.col("__rnloc__") == F.col("__cntloc__"),
+            F.col(f"__carryn__.{out}"),
+        )
+        .otherwise(F.col(out))
+        .alias(out)
+        for out in next_map
+    ]
+    return joined.select(*cols)
+
+
 def attach_prev(
     df: DataFrame,
     order_cols: Sequence[str],

@@ -80,7 +80,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
-from .rank import attach_prev
+from .rank import attach_prev_next
 
 _CACHE: dict[tuple[str, str, int, int], DataFrame] = {}
 _DIRS: set[str] = set()
@@ -137,9 +137,10 @@ def _sweep_stale() -> None:
 
 
 # Stage format version: bumped whenever the materialized schema
-# changes (v2 added the precomputed `lcp` column), so a shared-dir
-# stage written by older code is never misread by newer consumers.
-_STAGE_VERSION = 2
+# changes (v2 added the precomputed `lcp` column; v3 added `nlcp`,
+# the sort-SUCCESSOR's lcp), so a shared-dir stage written by older
+# code is never misread by newer consumers.
+_STAGE_VERSION = 3
 
 
 def _stage_path(app_id: str, sf_dir: str, cap: int, stride: int) -> str:
@@ -251,13 +252,22 @@ def adjacent_suffixes(
       pd / pp / pn / ps (the SORT-PREDECESSOR's doc_id / p / n / suf;
       NULL on the first row of the total (suf, doc_id, p) order),
       lcp (the exact-to-cap longest common prefix of suf and ps;
-      NULL where ps is NULL).
+      NULL where ps is NULL),
+      nlcp (the LCP of suf with its SORT-SUCCESSOR — i.e. the next
+      row's lcp, readable in place; NULL on the last row).
 
     ``lcp`` is materialized IN the stage on purpose: it is a pure
     function of (suf, ps) and its ~cap substring comparisons per row
     were the dominant per-query expression cost when every consumer
     recomputed it — paid once at stage build, every consumer reads a
-    bigint column instead.
+    bigint column instead. ``nlcp`` (v3) completes the pair: a
+    position's longest match with ANY other suffix is
+    max(lcp, nlcp) — LCP against its two sort neighbours — so the
+    ExactSubstr consumers read it as a per-ROW expression instead of
+    re-deriving it per query with a corpus-chars-grain union +
+    (doc, p) shuffle (the dominant per-consumer cost this column
+    removed; LCP is symmetric, so the successor's lcp is one more
+    column of the same sorted window pass).
 
     Materialized once per (application, sf_dir, cap, stride) and shared
     by all ExactSubstr-family consumers in the session. ``stride`` > 1
@@ -315,13 +325,27 @@ def adjacent_suffixes(
         F.col("p").cast("bigint").alias("p"),
         F.expr(f"substring(text, p, {cap})").alias("suf"),
     )
-    ordered = attach_prev(
-        sufs,
-        ["suf", "doc_id", "p"],
-        {"pd": "doc_id", "pp": "p", "pn": "n", "ps": "suf"},
-    ).withColumn(
-        "lcp",
-        F.when(F.col("ps").isNotNull(), adjacent_lcp(cap)),
+    ordered = (
+        attach_prev_next(
+            sufs,
+            ["suf", "doc_id", "p"],
+            {"pd": "doc_id", "pp": "p", "pn": "n", "ps": "suf"},
+            {"ns": "suf"},
+        )
+        .withColumn(
+            "lcp",
+            F.when(F.col("ps").isNotNull(), adjacent_lcp(cap)),
+        )
+        .withColumn(
+            # LCP is symmetric: LCP(suf, successor) == the successor
+            # row's lcp. Computing it here (one extra expression in the
+            # once-per-session stage build) is what lets every
+            # ExactSubstr consumer read a position's best-match length
+            # as greatest(lcp, nlcp) with zero shuffles.
+            "nlcp",
+            F.when(F.col("ns").isNotNull(), adjacent_lcp(cap, "suf", "ns")),
+        )
+        .drop("ns")
     )
     _sweep_stale()
     path = _stage_path(key[0], sf_dir, cap, stride)

@@ -585,52 +585,63 @@ def consensus_partition_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stage = _consensus_stage(spark, sf_dir)
 
-    # ONE wide (id, lbl0..lblN) frame instead of N filtered member
-    # frames: the stage's label part is read once and pivoted by a
-    # single lexicon-grain aggregate, so every contingency table is a
-    # group-by of this tiny checkpointed frame rather than a member×
-    # member self-join — the NMI tree loses all its id-joins and the
-    # analyzer/codegen cost that came with them. Counts (and therefore
-    # every downstream double) are identical to the join form.
-    wide = (
-        stage["labels"]
-        .groupBy("id")
-        .agg(
-            *[
-                F.max(
-                    F.when(F.col("member") == k, F.col("community"))
-                ).alias(f"lbl{k}")
-                for k in range(len(CONSENSUS_SALTS))
-            ]
-        )
+    # ONE wide (id, lbl0..lblN) frame, then ONE materialized per-pair
+    # contingency frame that every downstream number (MI, marginals,
+    # entropies, community counts, nn) is a tiny aggregate of. The
+    # previous shape built each pair's contingency / marginals /
+    # entropies as separate scalar subtrees composed with cross-joins —
+    # 90 Exchange nodes and an 1820-line physical plan whose
+    # analyzer/codegen cost dwarfed the (lexicon-bounded) data. Every
+    # count below is the identical integer the old shape produced, and
+    # every double expression tree is unchanged, so the 6-dp result is
+    # identical.
+    npair = len(CONSENSUS_SALTS)  # pairs (0,1) (0,2) (1,2) indexed 0..2
+    pair_ab = [(a, b) for a in range(npair) for b in range(a + 1, npair)]
+    wide = stage["labels"].groupBy("id").agg(
+        *[
+            F.max(
+                F.when(F.col("member") == k, F.col("community"))
+            ).alias(f"lbl{k}")
+            for k in range(len(CONSENSUS_SALTS))
+        ]
+    )
+    cells = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("p"),
+                        F.col(f"lbl{a}").alias("la"),
+                        F.col(f"lbl{b}").alias("lb"),
+                    )
+                    for p, (a, b) in enumerate(pair_ab)
+                ]
+            )
+        ).alias("c")
+    ).select("c.*")
+    # (pair, label_a, label_b) → exact joint count; materialized once
+    # (|pairs| × |communities|² rows at most) so marginals, entropies
+    # and MI all read a finished tiny table instead of re-running the
+    # pivot per consumer.
+    joint = (
+        cells.groupBy("p", "la", "lb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nij"))
         .transform(cut_lineage)
     )
-    nn = wide.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
-    members = [
-        wide.select("id", f"lbl{k}") for k in range(len(CONSENSUS_SALTS))
-    ]
-
-    def entropy(k: int) -> DataFrame:
-        cnts = wide.groupBy(f"lbl{k}").agg(
-            F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ma = joint.groupBy("p", "la").agg(F.sum("nij").alias("ai"))
+    mb = joint.groupBy("p", "lb").agg(F.sum("nij").alias("bj"))
+    nn = joint.where(F.col("p") == 0).agg(
+        F.sum("nij").cast("bigint").alias("nn")
+    )
+    mi = (
+        attach_scalars(
+            joint.join(F.broadcast(ma), ["p", "la"]).join(
+                F.broadcast(mb), ["p", "lb"]
+            ),
+            nn,
         )
-        return attach_scalars(cnts, nn).agg(
-            (-F.sum(
-                (F.col("cnt") * 1.0 / F.col("nn"))
-                * F.log(F.col("cnt") * 1.0 / F.col("nn"))
-            )).alias(f"h{k}")
-        )
-
-    def nmi(a: int, b: int) -> DataFrame:
-        cont = (
-            wide.groupBy(f"lbl{a}", f"lbl{b}")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("nij"))
-        )
-        ma = cont.groupBy(f"lbl{a}").agg(F.sum("nij").alias("ai"))
-        mb = cont.groupBy(f"lbl{b}").agg(F.sum("nij").alias("bj"))
-        mi = attach_scalars(
-            cont.join(ma, f"lbl{a}").join(mb, f"lbl{b}"), nn
-        ).agg(
+        .groupBy("p")
+        .agg(
             F.sum(
                 (F.col("nij") * 1.0 / F.col("nn"))
                 * F.log(
@@ -639,38 +650,69 @@ def consensus_partition_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("mi")
         )
-        out = attach_scalars(attach_scalars(mi, entropy(a)), entropy(b))
-        return out.select(
-            (F.col("mi") / ((F.col(f"h{a}") + F.col(f"h{b}")) / 2))
-            .alias(f"nmi{a}{b}")
-        )
-
-    score = attach_scalars(attach_scalars(nmi(0, 1), nmi(0, 2)), nmi(1, 2))
-    rows = score.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(0).cast("bigint").alias("member"),
-                    ((F.col("nmi01") + F.col("nmi02")) / 2).alias("mean_nmi"),
-                ),
-                F.struct(
-                    F.lit(1).cast("bigint").alias("member"),
-                    ((F.col("nmi01") + F.col("nmi12")) / 2).alias("mean_nmi"),
-                ),
-                F.struct(
-                    F.lit(2).cast("bigint").alias("member"),
-                    ((F.col("nmi02") + F.col("nmi12")) / 2).alias("mean_nmi"),
-                ),
+    )
+    # Per-member label counts are the pair marginals (member 0 = a-side
+    # of pair 0, member 1 = b-side of pair 0, member 2 = b-side of
+    # pair 1) — identical integers to a direct wide.groupBy(lbl_k).
+    memb_counts = (
+        ma.where(F.col("p") == 0)
+        .select(F.lit(0).cast("bigint").alias("member"), F.col("ai").alias("cnt"))
+        .unionByName(
+            mb.where(F.col("p") == 0).select(
+                F.lit(1).cast("bigint").alias("member"),
+                F.col("bj").alias("cnt"),
             )
-        ).alias("s")
-    ).select("s.*")
-    ncomm = None
-    for k in range(len(CONSENSUS_SALTS)):
-        one = members[k].agg(
-            F.countDistinct(f"lbl{k}").cast("bigint").alias("n_communities")
-        ).select(F.lit(k).cast("bigint").alias("member"), "n_communities")
-        ncomm = one if ncomm is None else ncomm.unionByName(one)
-    ranked = rows.join(ncomm, "member").select(
+        )
+        .unionByName(
+            mb.where(F.col("p") == 1).select(
+                F.lit(2).cast("bigint").alias("member"),
+                F.col("bj").alias("cnt"),
+            )
+        )
+    )
+    ent = (
+        attach_scalars(memb_counts, nn)
+        .groupBy("member")
+        .agg(
+            (
+                -F.sum(
+                    (F.col("cnt") * 1.0 / F.col("nn"))
+                    * F.log(F.col("cnt") * 1.0 / F.col("nn"))
+                )
+            ).alias("h"),
+            F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        )
+    )
+    am = F.lit(None).cast("bigint")
+    bm = F.lit(None).cast("bigint")
+    for p, (a, b) in enumerate(pair_ab):
+        am = F.when(F.col("p") == p, F.lit(a).cast("bigint")).otherwise(am)
+        bm = F.when(F.col("p") == p, F.lit(b).cast("bigint")).otherwise(bm)
+    ha = ent.select(F.col("member").alias("ma_"), F.col("h").alias("hA"))
+    hb = ent.select(F.col("member").alias("mb_"), F.col("h").alias("hB"))
+    nmi = (
+        mi.select("p", "mi", am.alias("a"), bm.alias("b"))
+        .join(F.broadcast(ha), F.col("a") == F.col("ma_"))
+        .join(F.broadcast(hb), F.col("b") == F.col("mb_"))
+        .select(
+            "a",
+            "b",
+            (F.col("mi") / ((F.col("hA") + F.col("hB")) / 2)).alias("nmi"),
+        )
+    )
+    rows = (
+        nmi.select(
+            F.explode(
+                F.array(F.col("a").alias("m"), F.col("b").alias("m"))
+            ).alias("member"),
+            "nmi",
+        )
+        .groupBy("member")
+        # each member sits in exactly 2 pairs: sum/2 == the old
+        # (nmi_xy + nmi_xz) / 2 (two-term IEEE addition is commutative)
+        .agg((F.sum("nmi") / 2).alias("mean_nmi"))
+    )
+    ranked = rows.join(F.broadcast(ent.select("member", "n_communities")), "member").select(
         "member",
         "n_communities",
         "mean_nmi",

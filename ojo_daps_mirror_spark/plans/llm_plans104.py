@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..operators.attach import attach_scalars, scalars
+from ..operators.lineage import cut_lineage
 from ..operators.rank import global_order_stats, ntile_from_rank
 from ..sources import load_table
 from . import register
@@ -95,7 +96,12 @@ def quintile_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = per_year.where(F.col("yr") == QM_Y1).select(
         "c", F.col("rev").alias("r1")
     )
-    both = a.join(b, "c")
+    # The cohort frame feeds SIX plan branches (two global-rank passes
+    # of two branches each, the |cohort| scalar, the attach) — the
+    # lineage cut materializes the join once instead of replaying it
+    # per branch (the range exchanges themselves dedup via
+    # ReuseExchange, but the join + filters above them did not).
+    both = a.join(b, "c").transform(cut_lineage)
     # Quintiles from two range-partitioned global ranks + the exact
     # NTILE closed form — no unpartitioned NTILE/count windows over
     # the customer-grain cohort (operators/rank.py).

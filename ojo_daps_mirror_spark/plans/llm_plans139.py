@@ -12,6 +12,8 @@ duplicated mass).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -85,39 +87,31 @@ ORDER BY d.doc_id
 """
 
 
-def _merged_spans(spark: SparkSession, sf_dir: str):
-    """(docs, merged-intervals) — the shared ExactSubstr detection
-    pipeline behind C226 (span report) and C227 (text excision).
-    The sorted lag-adjacent suffix frame comes from the session-cached
-    operators/suffix.py producer, so the C226/C227/C228 trio (and
-    C207's LCP reporter) materialise the |corpus chars| suffix sort
-    ONCE per session instead of once per query."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+# Merged-intervals stage version: bump when the interval recipe or
+# schema changes so a shared-dir stage from older code is never misread.
+_MERGED_STAGE_VERSION = 1
+
+
+def _build_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc-grain merged duplicate intervals (doc_id, miv) — the
+    ExactSubstr decision table behind C226/C227/C228.
+
+    A position's longest match with ANY other suffix is the max of its
+    two sort-neighbour LCPs — both materialized IN the suffix stage
+    (lcp + the v3 nlcp column), so the per-position duplicated length
+    is a plain row expression (greatest skips NULLs, exactly matching
+    the old union + per-(doc, p) MAX aggregate over present
+    neighbours), and the ONLY shuffle left is the doc-grain interval
+    collect over the few positions that pass the >= ESD_MIN filter.
+    The corpus-chars-grain union + (doc_id, p, n) groupBy each
+    consumer used to re-pay is gone entirely."""
     ordered = adjacent_suffixes(spark, sf_dir, ESD_CAP)
-    # lcp is precomputed in the materialized stage (pure function of
-    # suf/ps — operators/suffix.py pays its cap substring compares
-    # once at stage build, not once per consuming query)
-    pairs = ordered.where(F.col("ps").isNotNull()).select(
-        "doc_id",
-        "p",
-        "n",
-        "pd",
-        "pp",
-        "pn",
-        "lcp",
+    true_len = F.least(
+        F.greatest("lcp", "nlcp"), F.col("n") - F.col("p") + 1
     )
-    contrib = pairs.select("doc_id", "p", "n", "lcp").unionByName(
-        pairs.select(
-            F.col("pd").alias("doc_id"),
-            F.col("pp").alias("p"),
-            F.col("pn").alias("n"),
-            "lcp",
-        )
-    )
-    true_len = F.least(F.max("lcp"), F.col("n") - F.col("p") + 1)
     dups = (
-        contrib.groupBy("doc_id", "p", "n")
-        .agg(true_len.alias("dl"))
+        ordered.select("doc_id", "p", "n", "lcp", "nlcp")
+        .withColumn("dl", true_len)
         .where(F.col("dl") >= ESD_MIN)
         .select(
             "doc_id",
@@ -125,7 +119,7 @@ def _merged_spans(spark: SparkSession, sf_dir: str):
             (F.col("p") + F.col("dl")).cast("bigint").alias("e"),
         )
     )
-    merged = (
+    return (
         dups.groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("s", "e"))).alias("iv"))
         .select(
@@ -152,7 +146,42 @@ def _merged_spans(spark: SparkSession, sf_dir: str):
             ).alias("miv"),
         )
     )
-    return docs, merged
+
+
+def _merged_spans(spark: SparkSession, sf_dir: str):
+    """(docs, merged-intervals) — the shared ExactSubstr detection
+    pipeline behind C226 (span report), C227 (text excision) and C228
+    (the yield waterfall). The sorted lag-adjacent suffix frame comes
+    from the session-cached operators/suffix.py producer, and the
+    doc-grain merged-intervals table itself is a materialized family
+    stage (operators/stagecache.py) on top of it: the trio reads ONE
+    finished (doc_id, miv) parquet part per session instead of each
+    re-aggregating corpus-chars-grain rows — at 100 TB this is the
+    span-decision table a Lee-et-al pipeline keeps in the lake next to
+    the suffix array, consumed by the report, the excision and the
+    yield accounting alike."""
+    from ..operators.stagecache import input_fingerprint, materialized_stage
+    from ..operators.suffix import resolved_stride
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stride = resolved_stride(None, sf_dir, ESD_CAP)
+    key = "|".join(
+        (
+            sf_dir,
+            f"cap{ESD_CAP}",
+            f"min{ESD_MIN}",
+            f"s{stride}",
+            input_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+        )
+    )
+    stage = materialized_stage(
+        spark,
+        "exactsubstr",
+        _MERGED_STAGE_VERSION,
+        key,
+        [("merged", lambda parts: _build_merged(spark, sf_dir))],
+    )
+    return docs, stage["merged"]
 
 
 @register("dedup_substring_spans", oracle=_C226_ORACLE)

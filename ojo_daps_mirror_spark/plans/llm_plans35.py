@@ -147,9 +147,19 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cv")
         )
 
+    # Lineage cuts every round (the engine's standard iterative-loop
+    # hygiene, operators/lineage.py): without them round k's plan
+    # replays rounds 1..k-1, and the FINAL assignment subtree — an
+    # n·K-row cross-join + argmin window — is replayed twice (once
+    # under the update feeding `cents`, once under the stats pass;
+    # the window sort sits above the reusable exchange, so
+    # ReuseExchange does not dedup it). Checkpointed values are
+    # bit-identical (the recipe quantizes to 6 dp every round).
+    from ..operators.lineage import cut_lineage
+
     for _ in range(KM_ITERS):
-        assigned = assign(cents)
-        cents = update(assigned)
+        assigned = assign(cents).transform(cut_lineage)
+        cents = update(assigned).transform(cut_lineage)
 
     stats = (
         assigned.join(F.broadcast(cents), "cell")

@@ -183,21 +183,19 @@ def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         ).alias("is_d"),
     )
-    o_old, o_new = o.where(~F.col("is_d")), o.where(F.col("is_d"))
-    l_old, l_new = li.where(~F.col("is_d")), li.where(F.col("is_d"))
-
-    def term(os: DataFrame, ls: DataFrame) -> DataFrame:
-        return (
-            os.join(ls, os.o_orderkey == ls.l_orderkey)
-            .groupBy("week")
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("rev").alias("r"))
-        )
-
+    # The four delta terms (O⋈L, ΔO⋈L, O⋈ΔL, ΔO⋈ΔL) partition the
+    # full join EXACTLY (the is_d flags are disjoint slices), so they
+    # are computed as the four grouping cells of ONE join instead of
+    # four joins that each re-scanned — and re-md5'd — both tables:
+    # per-term partials aggregate at (week, is_d_o, is_d_l) grain,
+    # then merge by the same delta algebra (plain +, exact 1e-4
+    # integer units). Plan cost drops from 8 table scans + 4 shuffles
+    # to 2 scans + 1 shuffle; the term partials a real IVM refresh
+    # would persist are still individually present pre-merge.
     merged = (
-        term(o_old, l_old)
-        .unionByName(term(o_new, l_old))
-        .unionByName(term(o_old, l_new))
-        .unionByName(term(o_new, l_new))
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("week", o.is_d, li.is_d)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("rev").alias("r"))
         .groupBy("week")
         .agg(F.sum("n").alias("n_lines"), F.sum("r").alias("rtot"))
     )

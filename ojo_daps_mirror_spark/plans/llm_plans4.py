@@ -309,7 +309,13 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = (
         sh.where(F.col("doc_id") % BLOOM_BENCH_MOD == 0).select("s", "h").distinct()
     )
+    from ..operators.lineage import cut_lineage
+
     pos_arr = F.array(*[_bloom_pos(F.col("h"), i) for i in range(BLOOM_K)])
+    # ≤BLOOM_WORDS rows, materialized ONCE: the filter feeds BLOOM_K
+    # separately-named broadcast sides, and without the lineage cut
+    # each broadcast re-ran the whole bench-slice scan + hash +
+    # bit_or build (K copies of the build pipeline in the plan).
     bloom = (
         bench.select(F.explode(pos_arr).alias("pos"))
         .groupBy((F.col("pos") / 32).cast("bigint").alias("word"))
@@ -318,6 +324,7 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
             ).alias("bits")
         )
+        .transform(cut_lineage)
     )
     probe = sh.where(F.col("doc_id") % BLOOM_BENCH_MOD != 0).select(
         "doc_id",

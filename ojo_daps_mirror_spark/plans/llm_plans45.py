@@ -155,29 +155,39 @@ def count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate + TakeOrdered; probes broadcast against the 256-row
     sketch.
     """
+    from ..operators.lineage import cut_lineage
+
     tt = (
         load_table(spark, sf_dir, "documents")
         .select(F.explode(tokens(F.col("text"))).alias("t"))
         .where(F.col("t") != "")
     )
+    # Collapse the token stream to VOCAB grain first (one map-side-
+    # combined aggregate), then hash: the CMS cell recipe needs
+    # CMS_DEPTH md5s per DISTINCT token (cell += n), not per token
+    # OCCURRENCE — identical integers, ~|stream|/|vocab| fewer md5
+    # calls. The vocab frame is materialized once and feeds both the
+    # sketch fill and the exact heavy-hitter audit, so the corpus
+    # tokenize+shuffle also runs once instead of twice.
+    vocab = (
+        tt.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .transform(cut_lineage)
+    )
     r = F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("r")
     cells = (
-        tt.select("t", r)
+        vocab.select("t", "n", r)
         .select(
+            "n",
             "r",
             (
                 hash64(F.concat(F.col("t"), F.lit("~"), F.col("r"))) % CMS_WIDTH
             ).alias("bucket"),
         )
         .groupBy("r", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("n").alias("cnt"))
     )
-    exact = (
-        tt.groupBy("t")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), "t")
-        .limit(CMS_TOP)
-    )
+    exact = vocab.orderBy(F.desc("n"), "t").limit(CMS_TOP)
     probes = exact.select("t", "n", r).select(
         "t",
         "n",

@@ -199,9 +199,6 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             shingles(tokens(F.col("text")), CONT_SHINGLE_K), lambda s: hash64(s)
         )
     )
-    docs = raw.select("doc_id", F.array_sort(sh).alias("sh")).where(
-        F.size("sh") > 0
-    )
     ex = raw.select(
         "doc_id",
         F.explode(shingles(tokens(F.col("text")), CONT_BLOCK_K)).alias("s"),
@@ -222,16 +219,33 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # _jaccard_verify's proven verify shape (text_plans.py): materialize
+    # the tiny candidate frame once (it feeds two id semi-joins + the
+    # pair join), SEMI-JOIN the id set BEFORE the per-doc shingle+md5
+    # computation so the expensive hashed-shingle arrays are built for
+    # candidate docs only (previously every document paid the md5 pass
+    # TWICE — once per join side), and persist the shingled candidates
+    # so both sides read one computation.
     cand = (
         posts.select(F.explode(pair_arr).alias("p"))
         .select(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
         .distinct()
+        .persist()
+    )
+    cand_ids = cand.select(
+        F.explode(F.array("i", "j")).alias("doc_id")
+    ).distinct()
+    docs = (
+        raw.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .select("doc_id", F.array_sort(sh).alias("sh"))
+        .where(F.size("sh") > 0)
+        .persist()
     )
     da = docs.select(F.col("doc_id").alias("i"), F.col("sh").alias("sha"))
     db = docs.select(F.col("doc_id").alias("j"), F.col("sh").alias("shb"))
     scored = (
         cand.join(da, "i")
-        .join(db, "j")
+        .join(db.hint("broadcast"), "j")
         .select(
             F.col("i").alias("contained"),
             F.col("j").alias("container"),

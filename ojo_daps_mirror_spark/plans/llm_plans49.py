@@ -168,14 +168,34 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("rn").over(w_all).alias("nmax"),
     )
     journey = seq.where(F.col("rn") <= F.coalesce("pn", "nmax"))
-    steps = journey.select(
-        F.coalesce("prev", F.lit("START")).alias("f"),
-        F.when(F.col("event_type") == "purchase", "CONV")
-        .otherwise(F.col("event_type"))
-        .alias("t"),
-    ).unionByName(
-        journey.where(F.col("pn").isNull() & (F.col("rn") == F.col("nmax")))
-        .select(F.col("event_type").alias("f"), F.lit("NULL").alias("t"))
+    # Each journey row emits its step — and, iff it is the LAST row of
+    # a non-converting user, the absorbing →NULL step too — from ONE
+    # map-side explode (the conditional second element is a 0/1-length
+    # slice), instead of a self-union whose two branches each re-ran
+    # the user-window pass over the corpus.
+    step_arr = F.concat(
+        F.array(
+            F.struct(
+                F.coalesce("prev", F.lit("START")).alias("f"),
+                F.when(F.col("event_type") == "purchase", "CONV")
+                .otherwise(F.col("event_type"))
+                .alias("t"),
+            )
+        ),
+        F.slice(
+            F.array(
+                F.struct(
+                    F.col("event_type").alias("f"), F.lit("NULL").alias("t")
+                )
+            ),
+            1,
+            (F.col("pn").isNull() & (F.col("rn") == F.col("nmax"))).cast(
+                "int"
+            ),
+        ),
+    )
+    steps = journey.select(F.explode(step_arr).alias("st")).select(
+        "st.f", "st.t"
     )
     counts = steps.groupBy("f", "t").agg(F.count(F.lit(1)).alias("c"))
     base = counts.select(

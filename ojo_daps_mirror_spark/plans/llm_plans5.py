@@ -71,6 +71,14 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle uses the self-join form — same result, different
     (non-scalable) plan, which is exactly the point.
     """
+    # Examined for the optimization round and deliberately left in the
+    # two-branch shape: the totals and source-set branches share the
+    # identical (source, shingle) DISTINCT exchange, which ReuseExchange
+    # materializes ONCE — a measured single-pass rewrite (markers emitted
+    # from the source-set arrays, distinct dropped in favour of
+    # collect_set dedup) ran 0.3-0.5 s SLOWER at sf0.1 because the
+    # distinct is a codegen HashAggregate that shrinks the input of the
+    # slower object-hash collect_set aggregate.
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
     ss = docs.select(
         "source",

@@ -104,15 +104,24 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.unix_micros("ts")).cast("bigint").alias("e_us"),
         )
     )
+    # Both boundary points of a session emit MAP-SIDE from its row
+    # (one explode), not via a self-union whose two branches each
+    # re-ran the sessionize window + aggregate subtree.
     pts = sessions.select(
-        "user_id", F.col("s_us").alias("t"), F.lit(1).cast("bigint").alias("delta")
-    ).unionByName(
-        sessions.select(
-            "user_id",
-            (F.col("e_us") + 1).alias("t"),
-            F.lit(-1).cast("bigint").alias("delta"),
-        )
-    )
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s_us").alias("t"),
+                    F.lit(1).cast("bigint").alias("delta"),
+                ),
+                F.struct(
+                    (F.col("e_us") + 1).alias("t"),
+                    F.lit(-1).cast("bigint").alias("delta"),
+                ),
+            )
+        ).alias("pt"),
+    ).select("user_id", "pt.t", "pt.delta")
     # Running concurrency via the range-partitioned cumulative sum —
     # no unpartitioned window over the event-boundary stream
     # (operators/rank.py).

@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import (
     hash64,
+    raw_shingles,
     shingles,
     sql_hash64,
     sql_shingles,
@@ -354,18 +355,25 @@ def minhash_perturbation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", tokens(F.col("text")).alias("toks")
     )
     keep = F.floor(F.size("toks") * PERTURB_KEEP_PCT / 100.0).cast("int")
-    variants = docs.select(
+    # POSITIONAL shingles, hashed ONCE: the truncated variant's shingle
+    # list is a strict PREFIX of the full one (truncation removes
+    # trailing tokens only), so its h31 list is a slice of the full
+    # list — no second shingle pass, no second md5 pass. The distinct
+    # the old form applied is irrelevant to every downstream number:
+    # minhash slots are array_min over the hashes (duplicates never
+    # move a min), and the size(sh_t) > 0 keep-filter is equivalent to
+    # the positional prefix being non-empty.
+    t_len = F.greatest(
+        keep - F.lit(MH_SHINGLE_K - 1), F.lit(0)
+    )
+    hashed = docs.select(
         "source",
-        shingles(F.col("toks"), MH_SHINGLE_K).alias("sh_f"),
-        shingles(
-            F.slice(F.col("toks"), 1, F.greatest(keep, F.lit(0))),
-            MH_SHINGLE_K,
-        ).alias("sh_t"),
-    ).where(F.size("sh_t") > 0)
-    hashed = variants.select(
+        _h31_spark(raw_shingles(F.col("toks"), MH_SHINGLE_K)).alias("h_f"),
+        t_len.alias("t_len"),
+    ).where(F.col("t_len") > 0).select(
         "source",
-        _h31_spark(F.col("sh_f")).alias("h_f"),
-        _h31_spark(F.col("sh_t")).alias("h_t"),
+        "h_f",
+        F.slice(F.col("h_f"), 1, F.col("t_len")).alias("h_t"),
     )
     sigs = hashed.select(
         "source",

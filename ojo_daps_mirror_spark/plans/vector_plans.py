@@ -488,20 +488,52 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         _assign.__annotations__ = {"e": pd.Series, "return": pd.Series}
         return pandas_udf(_assign, "int" if n == 1 else "array<int>")
 
+    # One Lloyd pass = ONE mapInPandas over the vectors emitting
+    # per-batch partial sums (≤ K·dim rows per batch) + a tiny final
+    # agg — assign and update fused exactly like _pq_train's trainer
+    # (which this replaced-posexplode shape was measured against:
+    # 4.2 → ~1.5 s at sf0.1 there). Nothing row-exploded ever
+    # shuffles; the old form pushed n·dim rows through the (cell, dim)
+    # update shuffle per iteration. Centroid means are the same
+    # sum/count the F.avg aggregate computed (identical up to FP
+    # merge order, which Spark's partial aggregation never fixed
+    # either); assignment argmax is unchanged.
+    dim = cent.shape[1]
     for _ in range(IVF_ITERS):
-        assigned = emb.select("vec_id", "e", assign_udf(cent)(F.col("e")).alias("cell"))
-        new_cent = (
-            assigned.select("cell", F.posexplode("e").alias("dim", "val"))
-            .groupBy("cell", "dim")
-            .agg(F.avg("val").alias("v"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "v"))).alias("dv"))
-            .select("cell", F.transform("dv", lambda x: x.getField("v")).alias("c"))
-            .orderBy("cell")
-            .collect()
+        cb_bc = spark.sparkContext.broadcast(cent)
+
+        def partial_sums(batches):
+            cb = cb_bc.value
+            C = cb / np.linalg.norm(cb, axis=1, keepdims=True)
+            sums = np.zeros((cb.shape[0], dim))
+            cnts = np.zeros(cb.shape[0], dtype=np.int64)
+            for batch in batches:
+                M = np.stack(batch["e"].to_numpy()).astype(np.float64)
+                Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+                code = np.argmax(Mn @ C.T, axis=1)
+                np.add.at(sums, code, M)
+                np.add.at(cnts, code, 1)
+            ix = np.nonzero(cnts)[0]
+            yield pd.DataFrame(
+                {
+                    "cell": np.repeat(ix, dim),
+                    "d": np.tile(np.arange(dim), len(ix)),
+                    "s": sums[ix].ravel(),
+                    "cnt": np.repeat(cnts[ix], dim),
+                }
+            )
+
+        upd = (
+            emb.select("e")
+            .mapInPandas(
+                partial_sums, schema="cell int, d int, s double, cnt bigint"
+            )
+            .groupBy("cell", "d")
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+            .collect()  # ≤ K·dim rows — same driver-state cap as before
         )
-        for r in new_cent:
-            cent[r["cell"]] = np.array(r["c"])
+        for r in upd:
+            cent[r["cell"], r["d"]] = r["s"] / r["cnt"]
 
     # --- search ------------------------------------------------------
     indexed = emb.select(

@@ -112,3 +112,29 @@ def test_ntile_from_rank_matches_spark_ntile(spark, n, k):
         ).collect()
     }
     assert mine == ref
+
+
+@pytest.mark.parametrize("n", [1, 2, 237, 10007])
+def test_attach_prev_next_matches_global_lag_lead(spark, n):
+    from ojo_daps_mirror_spark.operators.rank import attach_prev_next
+
+    df = spark.range(n).select(
+        "id", (F.rand(seed=n) * 997).cast("long").alias("v")
+    )
+    mine = {
+        r["id"]: (r["prev_v"], r["next_v"], r["next_id"])
+        for r in attach_prev_next(
+            df, ["v", "id"], {"prev_v": "v"}, {"next_v": "v", "next_id": "id"}
+        ).collect()
+    }
+    w = Window.orderBy("v", "id")
+    ref = {
+        r["id"]: (r["prev_v"], r["next_v"], r["next_id"])
+        for r in df.select(
+            "id",
+            F.lag("v").over(w).alias("prev_v"),
+            F.lead("v").over(w).alias("next_v"),
+            F.lead("id").over(w).alias("next_id"),
+        ).collect()
+    }
+    assert mine == ref

@@ -112,3 +112,26 @@ def test_shared_dir_reaps_stale_tmp_and_reuses_published(
     # shared-dir stages are the operator's to GC — never in _DIRS
     assert path not in suffix._DIRS
     suffix._CACHE.pop(key).unpersist()
+
+
+def test_stage_nlcp_is_successor_lcp(spark, sf_dir):
+    """v3 stage contract: ``nlcp`` on every row equals the sort-
+    SUCCESSOR's ``lcp`` (LCP is symmetric), NULL on the global last
+    row — the column the ExactSubstr consumers read instead of
+    re-aggregating neighbour contributions per query."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = suffix.adjacent_suffixes(spark, sf_dir, cap=8)
+    w = Window.orderBy("suf", "doc_id", "p")
+    chk = df.select(
+        "doc_id", "p", "lcp", "nlcp",
+        F.lead("lcp").over(w).alias("succ_lcp"),
+    )
+    bad = chk.where(
+        ~(
+            (F.col("nlcp").isNull() & F.col("succ_lcp").isNull())
+            | (F.col("nlcp") == F.col("succ_lcp"))
+        )
+    ).count()
+    assert bad == 0
