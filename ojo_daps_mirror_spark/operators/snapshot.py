@@ -21,6 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .lineage import cut_lineage
+
 JOB_AD_LIFESPAN_IN_WEEKS = 6
 STOCK_WEEKS = 4  # index = average stock of the first 4 weeks
 
@@ -55,22 +57,35 @@ def weekly_stock(
     """
     group_cols = group_cols or []
 
-    # Week dimension: every Monday spanned by the data. Tiny (one row per
-    # week) — built from a 1-row global agg, broadcast everywhere below.
-    bounds = df.agg(
-        monday_of(F.min(date_col)).alias("wmin"),
-        monday_of(F.max(date_col)).alias("wmax"),
+    # Map-side explode: each row contributes to ≤7 Mondays; the only wide
+    # shuffle is the groupBy, pre-combined map-side to ~|weeks|×|groups| keys.
+    # The week-dimension bounds (monday(min d), monday(max d)) ride the
+    # SAME shuffle as two extra per-key min/max partials instead of a
+    # second full aggregate over the facts: every row is live on ≥1
+    # Monday, so min/max of d over the live stream equal min/max over df.
+    live = df.select(
+        *group_cols,
+        F.col(date_col).cast("date").alias("__d__"),
+        F.explode(live_mondays(F.col(date_col))).alias("week"),
+    )
+    stock_full = live.groupBy("week", *group_cols).agg(
+        F.count(F.lit(1)).alias("stock"),
+        F.min("__d__").alias("__dmin__"),
+        F.max("__d__").alias("__dmax__"),
+    )
+    # ~|weeks|×|groups| rows. Materialize once: the frame feeds the
+    # bounds agg plus fill_and_index's four references — without the cut,
+    # each reference replays the full fact scan + shuffle (A2's plan held
+    # 48 scans of the orders⋈geo subtree; with it, one).
+    stock_full = cut_lineage(stock_full)
+    bounds = stock_full.agg(
+        monday_of(F.min("__dmin__")).alias("wmin"),
+        monday_of(F.max("__dmax__")).alias("wmax"),
     )
     weeks = bounds.select(
         F.explode(F.sequence("wmin", "wmax", F.expr("interval 7 days"))).alias("week")
     )
-
-    # Map-side explode: each row contributes to ≤7 Mondays; the only wide
-    # shuffle is the groupBy, pre-combined map-side to ~|weeks|×|groups| keys.
-    live = df.select(
-        *group_cols, F.explode(live_mondays(F.col(date_col))).alias("week")
-    )
-    stock = live.groupBy("week", *group_cols).agg(F.count(F.lit(1)).alias("stock"))
+    stock = stock_full.select("week", *group_cols, "stock")
     return fill_and_index(stock, weeks, group_cols)
 
 

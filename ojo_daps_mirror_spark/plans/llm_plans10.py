@@ -14,6 +14,7 @@ from pyspark.sql.window import Window
 from ..functions.rounding import round_eps, sql_round
 from ..functions.text import sql_tokens, tokens
 from ..operators.attach import scalars
+from ..operators.lineage import cut_lineage
 from ..sources import load_table
 from .. import scale_mode as sm
 from . import register
@@ -79,7 +80,11 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             PMI_DOC_VOCAB_CAP,
         ).alias("ts"),
     )
-    n_docs = capped.count()
+    # |docs| as a broadcast scalar, not a driver-side .count(): capped is
+    # one row per document (no filter), so the doc count is the plain
+    # documents row count — a column-pruned scan, no tokenize pass, and
+    # no eager driver action in the query path (guide §5).
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__n_docs__"))
     ts = F.col("ts")
     pair_arr = F.flatten(
         F.transform(
@@ -105,11 +110,12 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     d1 = tok_df.select(F.col("t").alias("t1"), F.col("df").alias("df1"))
     d2 = tok_df.select(F.col("t").alias("t2"), F.col("df").alias("df2"))
     pmi = F.log(
-        F.lit(float(n_docs)) * F.col("df_ab") / (F.col("df1") * F.col("df2"))
+        F.col("__n_docs__") * F.col("df_ab") / (F.col("df1") * F.col("df2"))
     )
     return (
         pair_df.join(F.broadcast(d1), "t1")
         .join(F.broadcast(d2), "t2")
+        .transform(scalars(n_docs))
         .select("t1", "t2", "df_ab", "df1", "df2", round_eps(pmi, 6).alias("pmi"))
         .orderBy(F.desc("pmi"), F.asc("t1"), F.asc("t2"))
         .limit(PMI_TOP)
@@ -321,6 +327,11 @@ def two_hop_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; this is the open form.
     """
     edges = plans_edges_c52(spark, sf_dir).select("u1", "u2")
+    # persist, not cut_lineage: measured A/B at sf0.1 (5 legs each),
+    # an eager localCheckpoint here re-runs the C52 edge build inside
+    # the timed pass and costs 2.21 -> 3.72 s; the persisted frame
+    # serves all four branches (deg, both join sides, the anti join)
+    # from one materialization.
     sym = edges.union(
         edges.select(F.col("u2").alias("u1"), F.col("u1").alias("u2"))
     ).distinct().persist()

@@ -14,6 +14,7 @@ from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..operators.snapshot import fill_and_index, live_mondays, monday_of
+from ..operators.lineage import cut_lineage
 from ..sources import load_table
 from . import register
 from .jobs_observatory import _A1_ORACLE
@@ -289,6 +290,9 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     union size needs no second pass: |N(u)∪N(v)| = d(u)+d(v)−common.
     """
     edges = plans_edges_c52(spark, sf_dir).select("u1", "u2")
+    # persist, not cut_lineage — same A/B verdict as two_hop_candidates
+    # (llm_plans10.py): an eager cut re-runs the C52 build in the timed
+    # pass for no plan-shape gain that survives measurement.
     sym = (
         edges.union(edges.select(F.col("u2").alias("u1"), F.col("u1").alias("u2")))
         .distinct()

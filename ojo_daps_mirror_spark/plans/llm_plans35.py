@@ -441,7 +441,13 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "digest",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
     ).select((F.col("g") * 4 + F.col("j")).alias("b"), "cents", w.alias("w"))
-    means = (
+    from ..operators.lineage import cut_lineage
+
+    # {BOOT_B} rows, but referenced twice (the CI agg and the output
+    # join) — without the cut each reference replays the full md5 +
+    # explode pipeline over the facts (plan showed the orders scan
+    # twice); materialized once it is a dimension-scale frame.
+    means = cut_lineage(
         expanded.groupBy("b")
         .agg(F.sum(F.col("w") * F.col("cents")).alias("total"), F.sum("w").alias("n"))
         .select("b", (F.col("total") / 100.0 / F.col("n")).alias("rep_mean"))

@@ -177,6 +177,12 @@ def lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev")
         )
     )
+    from ..operators.lineage import cut_lineage
+
+    # Customer-grain frame feeds the count scalar AND the global-rank
+    # pass; materialize it once so neither branch replays the fact
+    # aggregate (plan: 22 Exchange with duplicated orders subtrees).
+    cust = cut_lineage(cust)
     # Decile assignment from the range-partitioned global rank +
     # the exact NTILE closed form — no unpartitioned NTILE window
     # over the customer-grain frame (operators/rank.py).
