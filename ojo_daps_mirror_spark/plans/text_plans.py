@@ -21,6 +21,9 @@ from ..functions.text import (
     STOPWORDS,
     hash64,
     shingles,
+    spark_sql_hash64,
+    spark_sql_shingles,
+    spark_sql_tokens,
     sql_hash64,
     sql_shingles,
     sql_stopword_hits,
@@ -248,39 +251,34 @@ def minhash_bands(raw: DataFrame) -> DataFrame:
     The exploded version this replaced pushed |shingles| × 8 rows
     through a groupBy.
     """
+    # Assembled as SQL text (one F.expr per projection) — the Column
+    # form of this builder cost ~0.5 s of py4j round-trips per call
+    # site (see functions/text.py "Spark SQL twins"); trees identical.
+    sh = spark_sql_shingles(spark_sql_tokens("text"), MH_SHINGLE_K)
     hashed = raw.select(
         "doc_id",
-        F.transform(
-            shingles(tokens(F.col("text")), MH_SHINGLE_K),
-            lambda s: hash64(s).bitwiseAND(F.lit(2147483647)),
+        F.expr(
+            f"transform({sh}, s -> {spark_sql_hash64('s')} & 2147483647)"
         ).alias("h31s"),
     )
-    h31s = F.col("h31s")
     mins = [
-        F.array_min(
-            F.transform(h31s, lambda h: (F.lit(MH_A[p]) * h + F.lit(MH_B[p])) % MH_PRIME)
-        )
+        f"array_min(transform(h31s, h -> ({MH_A[p]} * h + {MH_B[p]}) % {MH_PRIME}))"
         for p in range(MH_PERMS)
     ]
     n_bands = MH_PERMS // MH_ROWS_PER_BAND
-    sig_df = hashed.select("doc_id", F.array(*mins).alias("mhs"))
-    band_sigs = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.element_at(F.col("mhs"), b * MH_ROWS_PER_BAND + r + 1).cast(
-                            "string"
-                        )
-                        for r in range(MH_ROWS_PER_BAND)
-                    ],
-                )
-            )
-            for b in range(n_bands)
-        ]
+    sig_df = hashed.select("doc_id", F.expr(f"array({', '.join(mins)})").alias("mhs"))
+    band_sigs = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(
+            f"CAST(element_at(mhs, {b * MH_ROWS_PER_BAND + r + 1}) AS STRING)"
+            for r in range(MH_ROWS_PER_BAND)
+        )
+        + "))"
+        for b in range(n_bands)
     )
-    return sig_df.select("doc_id", F.posexplode(band_sigs).alias("band", "sig"))
+    return sig_df.select(
+        "doc_id", F.posexplode(F.expr(f"array({band_sigs})")).alias("band", "sig")
+    )
 
 
 _C5_ORACLE = f"""
@@ -382,7 +380,10 @@ def _jaccard_verify(
     cand_ids = cand.select(F.explode(F.array("i", "j")).alias("doc_id")).distinct()
     docs = (
         raw.join(F.broadcast(cand_ids), "doc_id", "left_semi")
-        .select("doc_id", shingles(tokens(F.col("text")), k).alias("sh"))
+        .select(
+            "doc_id",
+            F.expr(spark_sql_shingles(spark_sql_tokens("text"), k)).alias("sh"),
+        )
         .persist()  # shingled candidate docs feed both join sides
     )
     jac = (
