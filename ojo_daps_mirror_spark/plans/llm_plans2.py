@@ -223,7 +223,14 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _assign.__annotations__ = {"e": pd.Series, "return": pd.Series}
     assign = pandas_udf(_assign, "int")
 
-    assigned = emb.select("vec_id", "e", assign(F.col("e")).alias("cell"))
+    # Materialised once: the assignment frame feeds BOTH the cell-size
+    # aggregate and the shard join, and without it Catalyst replays the
+    # ArrowEvalPython assignment pass (the BLAS matmul over every
+    # batch) once per branch — the §4 boundary crossed twice for one
+    # logical pass.
+    assigned = emb.select(
+        "vec_id", "e", assign(F.col("e")).alias("cell")
+    ).persist()
 
     # Giant-cell shard guard: split any cell above the cap into
     # vec_id-hash shards so no applyInPandas group exceeds ~CAP rows.

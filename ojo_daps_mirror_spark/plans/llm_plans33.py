@@ -161,14 +161,33 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, and selection thresholds on the rounded weight so the
     boundary can't flip cross-engine.
     """
+    scored = _dsir_scored(spark, sf_dir)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "logw",
+        F.when(F.col("logw") > 0, 1).otherwise(0).alias("selected"),
+    ).orderBy("doc_id")
+
+
+def _dsir_scored(
+    spark: SparkSession, sf_dir: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """The C92 per-document scored frame (doc_id, *carry, n_tokens,
+    logw). ``carry`` columns must be functionally dependent on doc_id
+    (e.g. ``source``): they ride the (doc, bucket) aggregate without
+    changing its groups, so consumers that need them (C122's per-source
+    ESS) skip a doc-grain join against C92's output entirely."""
     b = F.lit(DSIR_BUCKETS)
     docs = load_table(spark, sf_dir, "documents")
     db = (
         docs.select(
-            "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("t")
+            "doc_id", "lang", *carry, F.explode(tokens(F.col("text"))).alias("t")
         )
         .where(F.col("t") != "")
-        .groupBy("doc_id", "lang", (hash64(F.col("t")) % b).alias("bucket"))
+        .groupBy(
+            "doc_id", "lang", *carry, (hash64(F.col("t")) % b).alias("bucket")
+        )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     w_all = Window.partitionBy()
@@ -199,20 +218,14 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lr_n"),
         )
     )
-    scored = (
+    return (
         db.join(bs, "bucket")
-        .groupBy("doc_id")
+        .groupBy("doc_id", *carry)
         .agg(
             F.sum("cnt").cast("bigint").alias("n_tokens"),
             round_eps(F.sum(F.col("cnt") * F.col("lr_n")) / 1e9, 6).alias("logw"),
         )
     )
-    return scored.select(
-        "doc_id",
-        "n_tokens",
-        "logw",
-        F.when(F.col("logw") > 0, 1).otherwise(0).alias("selected"),
-    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------- C93

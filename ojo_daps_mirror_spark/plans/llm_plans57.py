@@ -169,16 +169,18 @@ def importance_weight_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves; the oracle EMBEDS C92's oracle verbatim so weights
     and diagnostic can never drift (the C63 recipe).
 
-    Scale shape: one doc-grain join of C92's output to the source
-    column, then one source-grain aggregate; weights quantise to
-    integer micro-units (and milli-units squared, keeping Σw² inside
-    BIGINT) so both engines reduce exact integers.
+    Scale shape: `source` is functionally dependent on doc_id, so it
+    rides C92's own (doc, bucket) aggregate (_dsir_scored's carry
+    columns) instead of joining C92's doc-grain output back to the
+    documents table — the former doc-grain equi-join (two full-corpus
+    shuffles + a sort) is gone outright (guide §2.4); then one
+    source-grain aggregate. Weights quantise to integer micro-units
+    (and milli-units squared, keeping Σw² inside BIGINT) so both
+    engines reduce exact integers.
     """
-    from .llm_plans33 import dsir_importance
+    from .llm_plans33 import _dsir_scored
 
-    c92 = dsir_importance(spark, sf_dir)
-    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    weighted = c92.join(src, "doc_id").select(
+    weighted = _dsir_scored(spark, sf_dir, carry=("source",)).select(
         "source",
         F.round(F.exp("logw") * 1e6).cast("bigint").alias("w6"),
     )

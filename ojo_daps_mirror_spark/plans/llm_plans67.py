@@ -297,7 +297,13 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE volume-bound aggregate to the edge list; degrees
     derive from the edge frame itself (no second fact scan), the
     degree attach is a broadcast join at edge grain, and r comes from
-    exact BIGINT sufficient statistics in a single reduction.
+    exact BIGINT sufficient statistics in a single reduction. The
+    post-aggregate tail is nation-grain (≤ |nations|² rows), so both
+    unions collapse: deg explodes array(a, b) instead of unioning two
+    projections, and the both-orientations Pearson stats are symmetric
+    functions of ONE undirected pass — m = 2·|edges|, sx = sy =
+    Σ(dₐ+d_b), sxx = syy = Σ(dₐ²+d_b²), sxy = 2·Σ dₐ·d_b — exact BIGINT
+    identities, so the result is bit-identical to the directed union.
     """
     lineitem = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
@@ -331,36 +337,37 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         allpairs.transform(scalars(thr))
         .where(F.col("cnt") >= F.col("q"))
         .select("a", "b")
+        .persist()  # ≤ |nations|² rows; feeds the deg agg and the stats join
     )
     deg = (
-        edges.select(F.col("a").alias("node"))
-        .unionByName(edges.select(F.col("b").alias("node")))
+        edges.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     )
-    dir_edges = edges.select(
-        F.col("a").alias("u"), F.col("b").alias("v")
-    ).unionByName(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
-    pairs = (
-        dir_edges.join(
-            F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("x"))),
-            "u",
+    xy = (
+        edges.join(
+            F.broadcast(deg.select(F.col("node").alias("a"), F.col("d").alias("x"))),
+            "a",
         )
         .join(
             F.broadcast(
-                deg.select(F.col("node").alias("v"), F.col("d").alias("y"))
+                deg.select(F.col("node").alias("b"), F.col("d").alias("y"))
             ),
-            "v",
+            "b",
         )
         .select("x", "y")
     )
-    suff = pairs.agg(
-        F.count(F.lit(1)).cast("bigint").alias("m"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    suff = xy.agg(
+        (F.count(F.lit(1)) * 2).cast("bigint").alias("m"),
+        F.sum(F.col("x") + F.col("y")).cast("bigint").alias("sx"),
+        F.sum(F.col("x") + F.col("y")).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x") + F.col("y") * F.col("y"))
+        .cast("bigint")
+        .alias("sxx"),
+        (F.sum(F.col("x") * F.col("y")) * 2).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x") + F.col("y") * F.col("y"))
+        .cast("bigint")
+        .alias("syy"),
     )
     return (
         suff.where(
