@@ -96,26 +96,38 @@ def connected_components(
         neighbour_min = (
             sym.join(labels, sym.src == labels.vid)
             .groupBy("dst")
-            .agg(F.min("component_id").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbour_min, labels.vid == neighbour_min.dst, "left")
+            .agg(F.min("component_id").alias("component_id"))
             .select(
-                "vid",
-                F.least(
-                    F.col("component_id"), F.coalesce("nbr_label", "component_id")
-                ).alias("component_id"),
+                F.col("dst").alias("vid"),
+                "component_id",
+                F.lit(False).alias("own"),
+            )
+        )
+        # least(own label, neighbour min) as ONE union + min aggregate —
+        # not a left join (two shuffled sides per round) — and the old
+        # label rides the same aggregate, so the convergence check below
+        # is a scan of the materialized frame instead of a second
+        # new⋈old join per round. Every vid appears exactly once with
+        # own=true (neighbour dsts are a subset of the label vids), so
+        # max(own label) IS the previous label.
+        new_labels = (
+            labels.select("vid", "component_id", F.lit(True).alias("own"))
+            .unionByName(neighbour_min)
+            .groupBy("vid")
+            .agg(
+                F.min("component_id").alias("component_id"),
+                F.max(F.when(F.col("own"), F.col("component_id"))).alias(
+                    "__old__"
+                ),
             )
             .transform(cut_lineage)  # cut lineage; loop plan stays flat
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vid")
-            .where(F.col("n.component_id") != F.col("o.component_id"))
+            new_labels.where(F.col("component_id") != F.col("__old__"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.select("vid", "component_id")
         if changed == 0:
             break
     return (
