@@ -332,8 +332,14 @@ def item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("pair_count"))
         .where(F.col("pair_count") >= COOC_MIN_COUNT)
     )
-    part_n = baskets.select(F.explode("parts").alias("pk")).groupBy("pk").agg(
-        F.count("*").alias("n")
+    # persisted: the two aliased broadcast sides below defeat
+    # ReuseExchange, so without it the explode+agg over baskets runs
+    # once per lift side
+    part_n = (
+        baskets.select(F.explode("parts").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count("*").alias("n"))
+        .persist()
     )
     # |orders| attaches as a broadcast one-row scalar (never a driver count)
     n_orders = baskets.agg(F.count("*").alias("n_orders"))

@@ -285,12 +285,16 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm(F.col("embedding")).alias("nrm"),
     )
 
+    # The bucket index carries ONLY (vec_id, tbl, bucket): the former
+    # shape exploded the index N_TABLES-fold WITH the embedding array
+    # on both join sides, shipping every vector 2×N_TABLES times
+    # through the (tbl, bucket) exchange (guide §8 — decide with small
+    # rows, move big rows once) and replaying the Arrow projection
+    # matmul once per consumer branch. persist() runs the UDF once.
     buckets = emb.select(
         "vec_id",
-        "e",
-        "nrm",
         F.posexplode(srp_buckets(F.col("e"))).alias("tbl", "bucket"),
-    )
+    ).persist()
 
     queries = buckets.where(F.col("vec_id") % QUERY_MOD == 0)
     cand = (
@@ -304,12 +308,28 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("v.vec_id").alias("neighbor_id"),
-            F.col("q.e").alias("qe"),
-            F.col("v.e").alias("ve"),
-            F.col("q.nrm").alias("qn"),
-            F.col("v.nrm").alias("vn"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    # Exact-cosine rerank: the slim pair frame equi-joins the embedding
+    # table once per side — each vector moves through an id-hashed
+    # exchange once per side (2×), not 2×N_TABLES through the
+    # (tbl, bucket) exchange. No broadcast anywhere: the pair frame and
+    # the candidate-vector set both grow linearly with the corpus.
+    cand = cand.join(
+        emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qn"),
+        ),
+        "query_id",
+    ).join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("e").alias("ve"),
+            F.col("nrm").alias("vn"),
+        ),
+        "neighbor_id",
     )
     from ..functions.vectors import dot
 
