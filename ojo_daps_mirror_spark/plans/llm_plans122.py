@@ -260,7 +260,6 @@ def greedy_vocab_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     dt = dt.persist()
-    total_vocab = dt.select("tok").distinct().count()
     picked: list[int] = []
     covered_cnt = 0
     rows = []
@@ -287,7 +286,13 @@ def greedy_vocab_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         picked.append(pick_row["doc_id"])
         covered = dt.where(F.col("doc_id").isin(picked)).select("tok").distinct()
         covered = covered.persist()
-        covered_cnt = covered.count()
+        # the pick's gain counts exactly the tokens that are NEW to the
+        # covered set (dt is (doc, tok)-distinct and gains_src is
+        # anti-joined on covered), so the cumulative covered count is
+        # the running sum of gains — no covered.count() job per round
+        # (guide §5; the persist still materializes lazily at the next
+        # round's anti-join)
+        covered_cnt += int(pick_row["g"])
         rows.append(
             (step, int(pick_row["doc_id"]), int(pick_row["g"]), covered_cnt)
         )
@@ -300,12 +305,22 @@ def greedy_vocab_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     out = spark.createDataFrame(rows, schema)
-    return out.select(
-        "step",
-        "doc_id",
-        "gain",
-        "covered_cum",
-        round_eps(F.col("covered_cum") * 100.0 / total_vocab, 4).alias(
-            "coverage_pct"
-        ),
-    ).orderBy("step")
+    # |vocab| attaches as a broadcast 1-row scalar over the persisted
+    # (doc, tok) frame — never an eager distinct().count() in the query
+    # path (guide §5; same double arithmetic as the old int literal)
+    from ..operators.attach import scalars
+
+    tv = dt.agg(F.count_distinct("tok").alias("tv"))
+    return (
+        out.transform(scalars(tv))
+        .select(
+            "step",
+            "doc_id",
+            "gain",
+            "covered_cum",
+            round_eps(F.col("covered_cum") * 100.0 / F.col("tv"), 4).alias(
+                "coverage_pct"
+            ),
+        )
+        .orderBy("step")
+    )

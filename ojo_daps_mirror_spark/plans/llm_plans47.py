@@ -306,21 +306,30 @@ def curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
+    # |langs| rides the SAME single-partition window pass over the tiny
+    # distinct frame as the rank — never an eager langs.count() in the
+    # query path (guide §5), which also replayed the docs scan.
     langs = (
         docs.select("lang")
         .distinct()
         .select(
             "lang",
             F.dense_rank().over(Window.orderBy("lang")).alias("lr"),
+            F.count(F.lit(1))
+            .over(
+                Window.orderBy("lang").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("nl"),
         )
     )
-    n_langs = langs.count()
     w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
     return (
         docs.withColumn("r", F.row_number().over(w))
         .join(F.broadcast(langs), "lang")
         .select(
-            ((F.col("r") - 1) * n_langs + F.col("lr"))
+            ((F.col("r") - 1) * F.col("nl") + F.col("lr"))
             .cast("bigint")
             .alias("position"),
             "doc_id",

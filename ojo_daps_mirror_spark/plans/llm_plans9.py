@@ -185,7 +185,6 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     toks = tokens(F.col("text"))
-    n_docs = docs.count()
 
     def term_count(term: str):
         # NB: a two-parameter lambda in F.filter means (element, index),
@@ -196,17 +195,21 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         *[term_count(t).alias(f"tf_{i}") for i, t in enumerate(HYBRID_TERMS)],
     )
+    # |docs| rides the SAME 1-row scalar aggregate as the df counts —
+    # never an eager docs.count() in the query path (guide §5; the
+    # same attach-as-scalar fix pmi_collocations measured).
     df_counts = hits.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
         *[
             F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
             for i in range(len(HYBRID_TERMS))
-        ]
+        ],
     )
     kw = hits.transform(scalars(df_counts)).select(
         "doc_id",
         sum(
             F.col(f"tf_{i}")
-            * F.log(F.lit(float(n_docs)) / F.col(f"df_{i}"))
+            * F.log(F.col("n_docs") / F.col(f"df_{i}"))
             for i in range(len(HYBRID_TERMS))
         ).alias("kw_score"),
     )
