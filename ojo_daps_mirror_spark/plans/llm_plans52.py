@@ -106,28 +106,36 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") == MMR_QUERY_ID).select(
         F.col("e").alias("qe")
     )
-    norm = F.sqrt(
-        F.aggregate(F.col("e"), F.lit(0.0), lambda a, x: a + x * x)
-    )
     rels = (
         emb.where(F.col("vec_id") != MMR_QUERY_ID)
         .transform(scalars(q))
         .select(
             F.col("vec_id").alias("vid"),
             F.round(cosine(F.col("e"), F.col("qe")), 9).alias("rel"),
-            F.transform(F.col("e"), lambda x: x / norm).alias("en"),
+            "e",
         )
     )
     pool_rows = rels.orderBy(F.desc("rel"), "vid").limit(MMR_POOL)
+    # Normalise AFTER the TakeOrdered pool cut: the norm divide inlines
+    # the sum-of-squares aggregate into every element's lambda (an
+    # O(dim^2) expression per row), and only the {MMR_POOL} pooled
+    # vectors' normalised forms are ever read — paying it corpus-wide
+    # was pure waste at every scale.
+    def _normed(e):
+        nrm = F.sqrt(F.aggregate(e, F.lit(0.0), lambda a, x: a + x * x))
+        return F.transform(e, lambda x: x / nrm)
+
     pooled = pool_rows.agg(
         F.array_sort(
-            F.collect_list(F.struct((-F.col("rel")).alias("o"), "vid", "rel", "en"))
+            F.collect_list(F.struct((-F.col("rel")).alias("o"), "vid", "rel", "e"))
         ).alias("ps")
     ).select(
         F.transform(
             "ps",
             lambda s: F.struct(
-                s["vid"].alias("vid"), s["rel"].alias("rel"), s["en"].alias("en")
+                s["vid"].alias("vid"),
+                s["rel"].alias("rel"),
+                _normed(s["e"]).alias("en"),
             ),
         ).alias("pool")
     )

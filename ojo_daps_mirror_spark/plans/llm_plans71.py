@@ -286,7 +286,11 @@ def rank_overlap_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     common = ranked.where(
         (F.col("ra") <= RBO_DEPTH) & (F.col("rb") <= RBO_DEPTH)
     ).select("source", F.greatest("ra", "rb").alias("deep"))
-    sources = ranked.select("source").distinct()
+    # Same source set as ranked (gf >= tf >= 1, so the df inner join
+    # keeps every tf row), read from the PERSISTED tf frame — deriving
+    # it from `ranked` replayed the gf join and BOTH per-source window
+    # sorts over the full class vocabulary a second time.
+    sources = tf.select("source").distinct()
     depths_dim = spark.range(1, RBO_DEPTH + 1).select(
         F.col("id").cast("int").alias("d")
     )

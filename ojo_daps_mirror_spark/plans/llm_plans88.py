@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.rounding import round_eps, sql_round
 from ..operators.attach import scalars
@@ -311,27 +312,60 @@ def mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources|-key aggregate.
     """
     docs = load_table(spark, sf_dir, "documents").select(
-        "source", F.split(F.lower(F.col("text")), r"\s+").alias("t")
+        "doc_id", "source", F.split(F.lower(F.col("text")), r"\s+").alias("t")
     )
+    # Sum-of-per-window-distinct via the previous-occurrence identity:
+    # token instance i (1-based, prev same-token occurrence p, 0 if
+    # none) is the FIRST of its type inside window j iff
+    # max(i-W+1, p+1, 1) <= j <= min(i, n_win), so its total
+    # contribution over all windows is the length of that interval.
+    # Replaces the O(len*W) per-token array_distinct(slice(...)) HOF
+    # scan (interpreted, one W-array allocation per window) with one
+    # O(len) map pass over a (doc, tok) lag window; every number is
+    # the same exact integer. n_types = # first occurrences; short
+    # docs contribute 0 automatically (n_win <= 0 empties the
+    # interval). split() always yields >= 1 token, so every doc
+    # survives the explode and the doc counts are unchanged.
     t = F.col("t")
-    long_enough = F.size(t) >= MATTR_W
-    c_sum = F.when(
-        long_enough,
-        F.expr(
-            f"aggregate(transform(sequence(1, size(t) - {MATTR_W - 1}),"
-            f" j -> size(array_distinct(slice(t, j, {MATTR_W})))),"
-            f" 0L, (a, x) -> a + x)"
-        ),
-    ).otherwise(F.lit(0))
-    per_doc = docs.select(
+    pos_rows = docs.select(
+        "doc_id",
         "source",
-        F.size(t).cast("bigint").alias("len"),
-        c_sum.cast("bigint").alias("c_sum"),
-        F.when(long_enough, F.size(t) - (MATTR_W - 1))
-        .otherwise(0)
-        .cast("bigint")
-        .alias("n_win"),
-        F.size(F.array_distinct(t)).cast("bigint").alias("n_types"),
+        F.size(t).alias("len"),
+        F.posexplode(t).alias("pos0", "tok"),
+    )
+    wprev = Window.partitionBy("doc_id", "tok").orderBy("pos0")
+    i1 = F.col("pos0") + 1
+    nwin_c = F.col("len") - (MATTR_W - 1)
+    p = F.coalesce(F.lag("pos0").over(wprev) + 1, F.lit(0))
+    contrib = F.greatest(
+        F.lit(0),
+        F.least(i1, nwin_c)
+        - F.greatest(i1 - (MATTR_W - 1), p + 1, F.lit(1))
+        + 1,
+    )
+    per_doc = (
+        pos_rows.select(
+            "doc_id",
+            "source",
+            "len",
+            contrib.alias("contrib"),
+            (p == 0).cast("int").alias("is_first"),
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.max("len").cast("bigint").alias("len"),
+            F.sum("contrib").cast("bigint").alias("c_sum"),
+            F.sum("is_first").cast("bigint").alias("n_types"),
+        )
+        .select(
+            "source",
+            "len",
+            "c_sum",
+            F.greatest(F.col("len") - (MATTR_W - 1), F.lit(0))
+            .cast("bigint")
+            .alias("n_win"),
+            "n_types",
+        )
     )
     used = F.col("n_win") > 0
     return (
