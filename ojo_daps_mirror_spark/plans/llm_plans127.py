@@ -328,16 +328,73 @@ def hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting their verified top-k edges instead — the audit
     composes, the quadratic scan does not.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
-        F.col("a.vec_id").alias("q"),
-        F.col("b.vec_id").alias("t"),
-        cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+    # near_dup_cosine's block-pair BLAS design (vector_plans.py:58)
+    # instead of the row-expression n^2 join: the corpus splits into
+    # NB hash blocks, every vector replicates to its NB unordered
+    # block-pairs, one shuffle groups each (bx, by) into a task that
+    # runs ONE normalised matmul and emits each query's BLOCK-LOCAL
+    # top-{HUB_K} (argmax merge is closed, so the global window over
+    # n*NB*{HUB_K} candidate rows recovers the exact global top-k).
+    # The interpreted zip_with/aggregate cosine per pair (64 struct
+    # allocations x n^2 pairs) measured 85 s at sf0.1; no driver-side
+    # corpus collect, no broadcast that grows with the corpus.
+    import numpy as np
+    import pandas as pd
+
+    from .vector_plans import BLOCK_TARGET
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    n_vec = emb.count()  # parquet row-count metadata; no data scan
+    nb = max(1, -(-n_vec // BLOCK_TARGET))
+    blk = F.pmod(F.col("vec_id"), F.lit(nb)).cast("int")
+    j = F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("j")
+    rep = emb.select("vec_id", "embedding", blk.alias("blk"), j).select(
+        "vec_id",
+        "embedding",
+        "blk",
+        F.least("blk", "j").alias("bx"),
+        F.greatest("blk", "j").alias("by"),
+    )
+
+    def block_topk(key, pdf):
+        bx, by = key
+        ids = pdf["vec_id"].to_numpy()
+        M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        out_q, out_t, out_c = [], [], []
+
+        def emit(qm, tm):
+            qa, tb = ids[qm], ids[tm]
+            sims = M[qm] @ M[tm].T
+            for r in range(len(qa)):
+                row = sims[r]
+                idx = np.flatnonzero(tb != qa[r])
+                if idx.size == 0:
+                    continue
+                # exact (cos desc, id asc) block-local top-k; a full
+                # lexsort keeps exact-tie blocks (planted duplicates)
+                # correct where argpartition could split them
+                order = idx[np.lexsort((tb[idx], -row[idx]))[:HUB_K]]
+                out_q.extend([qa[r]] * len(order))
+                out_t.extend(tb[order])
+                out_c.extend(row[order])
+
+        if bx == by:
+            full = np.ones(len(ids), dtype=bool)
+            emit(full, full)
+        else:
+            am = pdf["blk"].to_numpy() == bx
+            emit(am, ~am)
+            emit(~am, am)
+        return pd.DataFrame({"q": out_q, "t": out_t, "cos": out_c})
+
+    cand = rep.groupBy("bx", "by").applyInPandas(
+        block_topk, schema="q bigint, t bigint, cos double"
     )
     topk = (
-        pairs.select(
+        cand.select(
             "q",
             "t",
             F.row_number()

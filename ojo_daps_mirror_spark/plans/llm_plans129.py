@@ -300,24 +300,53 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     e = e.persist()
-    seed = e.orderBy("vec_id").limit(1)
-    c = seed.select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-    )
-    d = e.transform(scalars(c)).select(
+    seed_row = e.orderBy("vec_id").limit(1).collect()[0]
+
+    def center_frame(vid):
+        # The winner's ID is driver state (the O(k) loop-probe
+        # recipe); the 1-row broadcast looks its vector up by an
+        # equality filter on the PERSISTED base frame, so the lookup
+        # runs inside the next round's single job (broadcast-side
+        # subtree) — scalars(far_df) re-EXECUTED the whole TakeOrdered
+        # top-1 pass inside every d_new evaluation (one extra job per
+        # round, 20.3 s min-of-3 at sf0.1 before), and carrying the
+        # 64-double vector through the argmax struct instead copies an
+        # array per compared row (measured worse: 17.1 s vs 11.9).
+        return e.where(F.col("vec_id") == vid).select(
+            F.col("embedding").alias("ce")
+        )
+
+    d = e.transform(scalars(center_frame(int(seed_row["vec_id"])))).select(
         "vec_id",
         "embedding",
         (1.0 - cosine(F.col("embedding"), F.col("ce"))).alias("dmin"),
     )
     d = d.persist()
-    rows = [(1, int(seed.collect()[0]["vec_id"]))]
-    radii = [float(d.agg(F.max("dmin")).collect()[0][0])]
+
+    # ONE aggregate per round returns BOTH the round's radius (max
+    # dmin over d_t) and the next center ID (argmax over the same
+    # d_t): max over struct(dmin, -vec_id) is exactly the
+    # (dmin DESC, vec_id ASC) top-1, with no per-row array payload in
+    # the comparison. Halves the per-round job count (radius agg +
+    # separate TakeOrdered top-1 before).
+    def round_agg(frame):
+        r = frame.agg(
+            F.max("dmin").alias("radius"),
+            F.max(
+                F.struct(
+                    F.col("dmin").alias("d"),
+                    (-F.col("vec_id")).alias("nid"),
+                )
+            ).alias("win"),
+        ).collect()[0]
+        return float(r["radius"]), int(-r["win"]["nid"])
+
+    rows = [(1, int(seed_row["vec_id"]))]
+    radius, winner = round_agg(d)
+    radii = [radius]
     for t in range(2, KC_K + 1):
-        far = d.orderBy(F.col("dmin").desc(), "vec_id").limit(1)
-        fr = far.collect()[0]
-        rows.append((t, int(fr["vec_id"])))
-        c = far.select(F.col("embedding").alias("ce"))
-        d_new = d.transform(scalars(c)).select(
+        rows.append((t, winner))
+        d_new = d.transform(scalars(center_frame(winner))).select(
             "vec_id",
             "embedding",
             F.least(
@@ -325,7 +354,8 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dmin"),
         )
         d_new = d_new.persist()
-        radii.append(float(d_new.agg(F.max("dmin")).collect()[0][0]))
+        radius, winner = round_agg(d_new)
+        radii.append(radius)
         d.unpersist()
         d = d_new
     out = spark.createDataFrame(

@@ -379,38 +379,57 @@ def cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB chunks shuffle by content hash exactly like the shingle
     pipelines.
     """
+    # Boundary positions as a map-side array (unigram_entropy's
+    # boundary-positions shape): the previous form exploded one row
+    # PER CHARACTER carrying the full text column into a per-doc
+    # prefix-sum window — O(len · |text|) shuffle bytes per document
+    # (4.1 s min-of-3 at sf0.1) — when a boundary at p just means
+    # "position p ends a chunk": chunk starts are 1 plus every
+    # boundary+1, ends are the next start − 1 (len for the last), and
+    # both fall out of one filtered sequence with NO explode, window
+    # or shuffle before chunk grain. Identical integer extents →
+    # identical substrings. explode_outer, not explode: a bare
+    # explode's inferred non-empty filter re-inlines the whole md5
+    # pipeline below the projections (the winnowing_fingerprints
+    # lesson this round).
+    from ..functions.text import spark_sql_hash64
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pos = docs.select(
+    bs_sql = (
+        f"filter(sequence(1, length(text)),"
+        f" p -> ({spark_sql_hash64(f'substring(text, p, {CDC_WIN})')})"
+        f" % {CDC_MOD} = 0)"
+    )
+    base = docs.select(
         "doc_id",
         "text",
-        F.explode(F.expr("sequence(1, length(text))")).alias("p"),
-    ).select(
+        F.expr(
+            f"CASE WHEN length(text) >= 1 THEN {bs_sql}"
+            " ELSE cast(array() as array<int>) END"
+        ).alias("bs"),
+    )
+    sted = base.select(
         "doc_id",
         "text",
-        "p",
-        (
-            hash64(F.expr(f"substring(text, p, {CDC_WIN})")) % CDC_MOD == 0
-        )
-        .cast("int")
-        .alias("b"),
+        F.expr(
+            "concat(array(1),"
+            " transform(filter(bs, p -> p < length(text)), p -> p + 1))"
+        ).alias("starts"),
     )
-    w_doc = (
-        Window.partitionBy("doc_id")
-        .orderBy("p")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    numbered = pos.select(
+    chunks = sted.select(
         "doc_id",
-        "text",
-        "p",
-        (F.sum("b").over(w_doc) - F.col("b")).alias("chunk_no"),
-    )
-    chunks = numbered.groupBy("doc_id", "chunk_no", "text").agg(
-        F.min("p").alias("p0"), F.max("p").alias("p1")
-    ).select(
-        "doc_id",
-        F.expr("substring(text, int(p0), int(p1 - p0 + 1))").alias("chunk"),
-    )
+        F.explode_outer(
+            F.expr(
+                "CASE WHEN length(text) >= 1 THEN"
+                " zip_with(starts,"
+                "  concat(transform(slice(starts, 2, size(starts)),"
+                "                   s -> s - 1),"
+                "         array(length(text))),"
+                "  (s, e) -> substring(text, s, e - s + 1))"
+                " ELSE cast(array() as array<string>) END"
+            )
+        ).alias("chunk"),
+    ).where(F.col("chunk").isNotNull())
     agg = chunks.agg(
         F.count(F.lit(1)).cast("bigint").alias("total_chunks"),
         F.countDistinct("chunk").cast("bigint").alias("distinct_chunks"),

