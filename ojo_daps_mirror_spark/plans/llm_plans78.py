@@ -408,6 +408,18 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array().cast("array<bigint>"))
         .alias("f"),
     )
+    # r7 fifth resume: a capped posting-list rewrite (containment_dedup's
+    # collect_list + map-side pair expansion, replacing hot/e and the
+    # two-sided self-join below) was oracle-green but measured SLOWER in
+    # interleaved min-of-3 A/Bs (1.78/1.57 -> 2.22/3.77 s at sf0.1): the
+    # ObjectHashAggregate collect_list + interpreted pair HOF loses to
+    # these whole-stage-codegen narrow-row joins. Reverted. NOTE the
+    # persist below is ALSO a correctness-of-cost barrier: without it, a
+    # bare explode's inferred `size(f) > 0` filter is pushed below the
+    # projections and re-inlines the whole gram->md5->window-min pipeline
+    # per filter evaluation (measured 119 s; explode_outer + an
+    # isNotNull on the GENERATED column is the fix if the persist ever
+    # goes away).
     doc_fp = fps.select("doc_id", F.explode("f").alias("fp"))
     doc_fp = doc_fp.persist()
     hot = (
