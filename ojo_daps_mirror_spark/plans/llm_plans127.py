@@ -362,7 +362,12 @@ def hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         bx, by = key
         ids = pdf["vec_id"].to_numpy()
         M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        # A zero-norm embedding must not divide to NaN (r7 ADVICE): the
+        # zero vector's cosines stay 0.0, which the desc ordering places
+        # last — matching the NULL-last placement of the old Catalyst
+        # cosine expression.
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        M /= np.where(nrm == 0.0, 1.0, nrm)
         out_q, out_t, out_c = [], [], []
 
         def emit(qm, tm):

@@ -59,6 +59,10 @@ def embedding_top_component(
     parts = emb.mapInPandas(
         moment_partials, schema="cnt long, s array<double>, ss array<double>"
     ).collect()
+    if not parts:
+        # Empty embeddings table (r7 ADVICE): fail descriptively instead
+        # of IndexError on parts[0] below.
+        raise ValueError("embedding_pca_top: embeddings table is empty")
     n = sum(r["cnt"] for r in parts)
     dim = len(parts[0]["s"])
     s = np.zeros(dim)

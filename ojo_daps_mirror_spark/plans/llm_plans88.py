@@ -312,7 +312,15 @@ def mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources|-key aggregate.
     """
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.split(F.lower(F.col("text")), r"\s+").alias("t")
+        "doc_id",
+        "source",
+        # coalesce to '' (r7 ADVICE): split(NULL) is NULL and would
+        # explode to zero rows, silently dropping the doc from
+        # n_docs_short; ''.split yields one empty token, so a NULL-text
+        # doc counts as short exactly as the per-doc oracle form does.
+        # No NULL texts exist in current data (verified r7) — this only
+        # pins the contract.
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+").alias("t"),
     )
     # Sum-of-per-window-distinct via the previous-occurrence identity:
     # token instance i (1-based, prev same-token occurrence p, 0 if
