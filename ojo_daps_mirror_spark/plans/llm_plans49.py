@@ -198,103 +198,99 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "st.f", "st.t"
     )
     counts = steps.groupBy("f", "t").agg(F.count(F.lit(1)).alias("c"))
-    base = counts.select(
-        "f",
-        "t",
-        (F.col("c") * 1.0 / F.sum("c").over(Window.partitionBy("f"))).alias("p"),
+    # Tail collapse (r8, guide §2.4/§5): everything below `counts` is
+    # ≤(|states|+2)² rows of exact integers, so the redirect grid, the
+    # per-f normalisation, the matrix assembly and the MK_ITERS-step
+    # fixed point for all five variants fold into array expressions
+    # over ONE collected row — replacing the old tiny-frame cascade
+    # (two createDataFrame dims, a grid join, a collect_list groupBy,
+    # ~20 Exchange nodes of pure scheduler latency per query). Every
+    # number is the same double: totals are exact BIGINT sums, each
+    # matrix entry is the single division c/total(f) the old per-f
+    # window produced (the old ps/pc group-sums only ever added exact
+    # 0.0 terms to it), and the fold is the identical expression tree
+    # the old per-variant rows ran. Compile-time redirect: for variant
+    # v, state s==v contributes zero rows (the old `f != variant`
+    # filter) and channel c==v collects nothing (t==v redirected to
+    # the absorbing NULL) — both are Python-side conditions here.
+    arr_df = counts.groupBy().agg(
+        F.collect_list(F.struct("f", "t", "c")).alias("arr")
     )
-    variants = spark.createDataFrame(
-        [(v,) for v in MK_VARIANTS], "variant string"
-    )
-    redirected = (
-        base.transform(scalars(variants))
-        .where(F.col("f") != F.col("variant"))
-        .select(
-            "variant",
-            "f",
-            F.when(F.col("t") == F.col("variant"), "NULL")
-            .otherwise(F.col("t"))
-            .alias("t"),
-            "p",
+
+    # All tail expressions are assembled as SQL TEXT parsed by one
+    # F.expr each (the r7 salary/minhash lesson, guide §5): a first cut
+    # built the same trees through the python lambda-HOF API and spent
+    # ~13 s PER BUILD in py4j round-trips — the driver pays that per
+    # query on a real cluster too. Float literals are spelled with the
+    # D suffix so parsing yields the same DOUBLE the Column API's
+    # F.lit(0.0) produced (a bare 0.0 parses as DECIMAL).
+    def _cnt(s: str, t: str) -> str:
+        return (
+            f"aggregate(filter(arr, x -> x.f = '{s}' AND x.t = '{t}'), "
+            "CAST(0 AS BIGINT), (a, x) -> a + x.c)"
         )
-    )
-    probs = redirected.groupBy("variant", "f").agg(
-        F.array(
-            *[
-                F.sum(F.when(F.col("t") == c, F.col("p")).otherwise(0.0))
+
+    def _tot(s: str) -> str:
+        return (
+            f"aggregate(filter(arr, x -> x.f = '{s}'), "
+            "CAST(0 AS BIGINT), (a, x) -> a + x.c)"
+        )
+
+    def _p(s: str, t: str) -> str:
+        # c * 1.0 / total(f): identical arithmetic to the old per-f
+        # window normalisation. A state never seen as `f` had no probs
+        # row and coalesced to 0.0 — the CASE guard reproduces that.
+        return (
+            f"(CASE WHEN {_tot(s)} > 0 THEN {_cnt(s, t)} * 1.0D / {_tot(s)} "
+            "ELSE 0.0D END)"
+        )
+
+    def _rows(v: str) -> str:
+        entries = []
+        for s in MK_STATES:
+            ps = ", ".join(
+                "0.0D" if (s == v or c == v) else _p(s, c)
                 for c in MK_CHANNELS
-            ]
-        ).alias("ps"),
-        F.sum(F.when(F.col("t") == "CONV", F.col("p")).otherwise(0.0)).alias(
-            "pc"
-        ),
-    )
-    grid = spark.createDataFrame(
-        [(v, s, i + 1) for v in MK_VARIANTS for i, s in enumerate(MK_STATES)],
-        "variant string, s string, sidx int",
-    )
-    zero_ps = F.array_repeat(F.lit(0.0), len(MK_CHANNELS))
-    m = (
-        grid.join(
-            probs,
-            (grid.variant == probs.variant) & (grid.s == probs.f),
-            "left",
-        )
-        .select(
-            grid.variant.alias("variant"),
-            "sidx",
-            F.coalesce("ps", zero_ps).alias("ps"),
-            F.coalesce("pc", F.lit(0.0)).alias("pc"),
-        )
-        .groupBy("variant")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("sidx", "ps", "pc"))
-            ).alias("rows_s")
-        )
-        .select(
-            "variant",
-            F.transform(
-                "rows_s", lambda r: F.struct(r["ps"].alias("ps"), r["pc"].alias("pc"))
-            ).alias("rows_"),
-        )
-    )
-    zero_v = F.array_repeat(F.lit(0.0), len(MK_STATES))
+            )
+            pc = "0.0D" if s == v else _p(s, "CONV")
+            entries.append(f"named_struct('ps', array({ps}), 'pc', {pc})")
+        return "array(" + ", ".join(entries) + ")"
 
-    def dot(ps, acc):
-        return F.aggregate(
-            F.zip_with(ps, acc, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda a, x: a + x,
+    zero_v = "array(" + ", ".join("0.0D" for _ in MK_STATES) + ")"
+
+    def _fold(v: str) -> str:
+        # The same fixed-point tree the old per-variant rows ran: each
+        # step quantises to 12 dp, the dot product is the identical
+        # zip_with/aggregate left fold.
+        dot = (
+            "aggregate(zip_with(r.ps, slice(acc, 1, "
+            f"{len(MK_CHANNELS)}), (x, y) -> x * y), 0.0D, (a, x) -> a + x)"
+        )
+        return (
+            f"element_at(aggregate(sequence(1, {MK_ITERS}), {zero_v}, "
+            f"(acc, i) -> transform({_rows(v)}, "
+            f"r -> round(r.pc + {dot}, 12))), {len(MK_STATES)})"
         )
 
-    folded = F.aggregate(
-        F.sequence(F.lit(1), F.lit(MK_ITERS)),
-        zero_v,
-        lambda acc, _: F.transform(
-            F.col("rows_"),
-            lambda r: F.round(
-                r["pc"] + dot(r["ps"], F.slice(acc, 1, len(MK_CHANNELS))), 12
-            ),
+    eff = arr_df.select(
+        F.expr(_fold("none")).alias("p_base"),
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"named_struct('channel', '{v}', 'p_removed', {_fold(v)})"
+                    for v in MK_CHANNELS
+                )
+                + ")"
+            )
+        ).alias("x"),
+    ).select(
+        F.col("x.channel").alias("channel"),
+        "p_base",
+        F.col("x.p_removed").alias("p_removed"),
+        ((F.col("p_base") - F.col("x.p_removed")) / F.col("p_base")).alias(
+            "effect"
         ),
-    )
-    solved = m.select(
-        "variant", F.element_at(folded, len(MK_STATES)).alias("p_conv")
-    )
-    base_p = solved.where(F.col("variant") == "none").select(
-        F.col("p_conv").alias("p_base")
-    )
-    eff = (
-        solved.where(F.col("variant") != "none")
-        .transform(scalars(base_p))
-        .select(
-            F.col("variant").alias("channel"),
-            "p_base",
-            F.col("p_conv").alias("p_removed"),
-            ((F.col("p_base") - F.col("p_conv")) / F.col("p_base")).alias(
-                "effect"
-            ),
-        )
     )
     return eff.select(
         "channel",

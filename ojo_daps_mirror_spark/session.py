@@ -29,6 +29,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime SMJ -> shuffled-hash rewrite (guide §3.1): AQE converts
+        # a sort-merge join to shuffled-hash only when EVERY post-shuffle
+        # build-side partition is measured (not estimated) below this
+        # threshold, so the per-task hash map is bounded by construction
+        # — the safe form of preferSortMergeJoin=false at any scale. At
+        # 100 TB partitions near the advisory size keep converting while
+        # oversized ones stay SMJ (and AQE skew-split still applies to
+        # both). 64 MiB matches autoBroadcastJoinThreshold: a build the
+        # planner would happily broadcast is equally safe to hash
+        # per-task. Override (or disable with 0) via env.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", str(64 * 1024 * 1024)),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
